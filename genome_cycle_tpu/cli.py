@@ -1,0 +1,155 @@
+"""Command-line interface mirroring the reference's five stage binaries plus
+the `simulate` orchestration script.
+
+Usage (one trajectory file carries the whole cell cycle, SURVEY.md §3):
+
+    python -m genome_cycle_tpu.cli prepare [-s SEED] -o out.h5 config.json chains.tsv
+    python -m genome_cycle_tpu.cli anatelophase out.h5
+    python -m genome_cycle_tpu.cli transition {interphase|prometaphase} out.h5
+    python -m genome_cycle_tpu.cli transition cycle prev.h5 next.h5
+    python -m genome_cycle_tpu.cli interphase out.h5
+    python -m genome_cycle_tpu.cli prometaphase out.h5
+    python -m genome_cycle_tpu.cli simulate [-s SEED] -o out.h5 config.json chains.tsv
+    python -m genome_cycle_tpu.cli cycles -n 3 [-s SEED] -o prefix config.json chains.tsv
+
+`simulate` = prepare + anatelophase + transition interphase + interphase
+(scripts/simulate:42-45).  `cycles` runs the full multi-cycle experiment the
+reference leaves to ad-hoc scripting (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .store import SimulationStore
+from .utils.logging import log_stderr
+
+
+def _add_store_cmd(sub, name, help_text):
+    p = sub.add_parser(name, help=help_text)
+    p.add_argument("trajectory", help="trajectory .h5 file")
+    return p
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="genome_cycle_tpu",
+        description="TPU-native whole-genome cell-cycle simulator",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("prepare", help="compile config + chains into a new store")
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("config")
+    p.add_argument("chains")
+
+    _add_store_cmd(sub, "anatelophase", "run anaphase + telophase")
+    _add_store_cmd(sub, "interphase", "run relaxation + G1 interphase")
+    _add_store_cmd(sub, "prometaphase", "run prometaphase/metaphase")
+
+    p = sub.add_parser("transition", help="convert structures between stages")
+    tsub = p.add_subparsers(dest="mode", required=True)
+    _add_store_cmd(tsub, "interphase", "telophase -> relaxation initial structure")
+    _add_store_cmd(tsub, "prometaphase", "interphase -> prometaphase initial structure")
+    pc = tsub.add_parser("cycle", help="metaphase of prev -> anaphase of next")
+    pc.add_argument("prev")
+    pc.add_argument("next")
+
+    p = sub.add_parser("simulate", help="prepare + anatelophase + interphase")
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("config")
+    p.add_argument("chains")
+
+    p = sub.add_parser("cycles", help="multi-cycle experiment (one file per cycle)")
+    p.add_argument("-n", "--cycles", type=int, default=3)
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("config")
+    p.add_argument("chains")
+
+    args = parser.parse_args(argv)
+    log = log_stderr
+
+    if args.command == "prepare":
+        from .models.prepare import run_prepare
+
+        run_prepare(args.output, args.config, args.chains, args.seed, log=log)
+
+    elif args.command == "anatelophase":
+        from .models.anatelophase import run_anatelophase
+
+        with SimulationStore(args.trajectory) as store:
+            run_anatelophase(store, log=log)
+
+    elif args.command == "interphase":
+        from .models.interphase import run_interphase
+
+        with SimulationStore(args.trajectory) as store:
+            run_interphase(store, log=log)
+
+    elif args.command == "prometaphase":
+        from .models.prometaphase import run_prometaphase
+
+        with SimulationStore(args.trajectory) as store:
+            run_prometaphase(store, log=log)
+
+    elif args.command == "transition":
+        from .models import transitions
+
+        if args.mode == "interphase":
+            with SimulationStore(args.trajectory) as store:
+                transitions.transition_interphase(store, log=log)
+        elif args.mode == "prometaphase":
+            with SimulationStore(args.trajectory) as store:
+                transitions.transition_prometaphase(store, log=log)
+        else:
+            with SimulationStore(args.prev) as prev, SimulationStore(args.next) as nxt:
+                transitions.transition_cycle(prev, nxt, log=log)
+
+    elif args.command == "simulate":
+        from .models.anatelophase import run_anatelophase
+        from .models.interphase import run_interphase
+        from .models.prepare import run_prepare
+        from .models.transitions import transition_interphase
+
+        run_prepare(args.output, args.config, args.chains, args.seed, log=log)
+        with SimulationStore(args.output) as store:
+            run_anatelophase(store, log=log)
+            transition_interphase(store, log=log)
+            run_interphase(store, log=log)
+
+    elif args.command == "cycles":
+        from .models.anatelophase import run_anatelophase
+        from .models.interphase import run_interphase
+        from .models.prepare import run_prepare
+        from .models.prometaphase import run_prometaphase
+        from .models.transitions import (
+            transition_cycle,
+            transition_interphase,
+            transition_prometaphase,
+        )
+
+        prev_path = None
+        base_seed = args.seed
+        for k in range(args.cycles):
+            path = f"{args.output_prefix}cell_{k}.h5"
+            seed = None if base_seed is None else base_seed + k
+            log(f"=== cycle {k}: {path} ===")
+            run_prepare(path, args.config, args.chains, seed, log=log)
+            if prev_path is not None:
+                with SimulationStore(prev_path) as prev, SimulationStore(path) as nxt:
+                    transition_cycle(prev, nxt, log=log)
+            with SimulationStore(path) as store:
+                run_anatelophase(store, log=log)
+                transition_interphase(store, log=log)
+                run_interphase(store, log=log)
+                transition_prometaphase(store, log=log)
+                run_prometaphase(store, log=log)
+            prev_path = path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,615 @@
+"""Interphase stage driver: relaxation + G1 expansion with moving wall.
+
+TPU-native re-design of the reference interphase driver
+(``stage_interphase/simulation_driver*.cpp``, SURVEY.md §2.7): the entire hot
+loop — neighbor-list build, A/B copolymer forces, bonds, nucleolus, wall with
+axial-reaction feedback, BD update, scheduled expansion, wall ODE and contact
+counting — runs inside one ``lax.scan`` chunk of ``sampling_interval`` steps;
+only HDF5 sampling happens host-side between chunks.
+
+Known deliberate cadence deviation (documented, within stochastic tolerance):
+the reference samples the frame context *before* the per-step scale/wall
+update of the same callback; we record the post-update values, a half-step
+phase shift of order dt in the logged (not simulated) context.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time as _time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import InterphaseConfig, SimulationConfig
+from ..store import InterphaseContext, SimulationStore, StageDesign
+from ..ops import potentials as pot
+from ..ops.bonded import chain_bond_pairs, loop_bond_pairs, pair_bond_forces
+from ..ops.contact import (
+    ContactList,
+    build_contact_list,
+    contact_list_to_host,
+    merge_window,
+    update_contact_counts,
+)
+from ..ops.integrator import BDParams, bd_update
+from ..ops.neighbor import (
+    CellGrid,
+    build_cell_table,
+    pairwise_forces_cell,
+    pairwise_forces_dense,
+)
+from ..ops.wall import wall_forces
+from ..utils.logging import progress_line
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineSettings:
+    """Performance-tuning knobs of the TPU engine (not part of the reference
+    JSON schema; auto-derived from the system size when unset)."""
+
+    cell_capacity: int = 32
+    contact_capacity: int = 64
+    contact_margin: float = 0.25
+    grid_bound: float = 8.0
+    dtype: str = "float32"
+
+    @classmethod
+    def auto(cls, n_particles: int, config: InterphaseConfig) -> "EngineSettings":
+        # The densest regime is the fresh spline-resampled post-telophase
+        # structure, where ~coarse_graining fine beads share each coarse
+        # bead's neighborhood — start generous; the adaptive engine shrinks
+        # capacity once the nucleus decondenses.
+        wall = config.wall_semiaxes_init
+        return cls(
+            cell_capacity=256,
+            contact_capacity=128,
+            contact_margin=0.25,
+            grid_bound=float(4 * max(wall) + 1.0),
+        )
+
+
+@dataclasses.dataclass
+class InterphaseModel:
+    """Static system description + pure step functions for the interphase run."""
+
+    config: InterphaseConfig
+    n: int
+    af: jnp.ndarray                # (N,) a factors
+    bf: jnp.ndarray                # (N,) b factors
+    mobility: jnp.ndarray          # (N,)
+    bond_pairs: jnp.ndarray        # (B, 2) chain bonds
+    bond_spring: jnp.ndarray       # (B,) pre-mixed K (unscaled)
+    bond_length: jnp.ndarray       # (B,) pre-mixed l (unscaled)
+    loop_pairs: jnp.ndarray        # (L, 2) intra-TAD (i, i+2) bonds
+    loop_spring: jnp.ndarray       # (L,)
+    nuc_bonds: jnp.ndarray         # (Bn, 2) NOR-nucleolus bonds
+    nuc_targets: jnp.ndarray       # (Tn,) nucleolar particle indices
+    grid: CellGrid
+    settings: EngineSettings
+    use_loops: bool
+    use_droplet: bool
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_design(
+        cls,
+        design: StageDesign,
+        config: SimulationConfig,
+        settings: Optional[EngineSettings] = None,
+    ) -> "InterphaseModel":
+        icfg = config.interphase
+        n = design.particle_count
+        ab = np.zeros((n, 2))
+        ab[: design.ab_factors.shape[0]] = design.ab_factors
+        af, bf = ab[:, 0], ab[:, 1]
+
+        # Mobility: a >= b -> a_core_mobility else b_core_mobility; nucleolar
+        # particles override (simulation_driver_particles.cpp:19-34).
+        mobility = np.where(af >= bf, icfg.a_core_mobility, icfg.b_core_mobility)
+        if design.nucleolar_bonds is not None and len(design.nucleolar_bonds):
+            mobility[design.nucleolar_bonds[:, 1]] = icfg.nucleolus_mobility
+
+        # Per-bond mixed parameters (simulation_driver_forcefield.cpp:61-96):
+        # K = a_mix K_A + b_mix K_B, l = a_mix l_A + b_mix l_B.
+        bond_pairs = np.asarray(chain_bond_pairs(design.chains))
+        if len(bond_pairs):
+            a_mix = 0.5 * (af[bond_pairs[:, 0]] + af[bond_pairs[:, 1]])
+            b_mix = 0.5 * (bf[bond_pairs[:, 0]] + bf[bond_pairs[:, 1]])
+            bond_spring = a_mix * icfg.a_core_bond_spring + b_mix * icfg.b_core_bond_spring
+            bond_length = a_mix * icfg.a_core_bond_length + b_mix * icfg.b_core_bond_length
+        else:
+            bond_spring = np.zeros((0,))
+            bond_length = np.zeros((0,))
+
+        loop_pairs = np.asarray(loop_bond_pairs(design.chains))
+        if len(loop_pairs):
+            a_mix = 0.5 * (af[loop_pairs[:, 0]] + af[loop_pairs[:, 1]])
+            b_mix = 0.5 * (bf[loop_pairs[:, 0]] + bf[loop_pairs[:, 1]])
+            loop_spring = (
+                a_mix * icfg.a_core_2nd_bond_spring + b_mix * icfg.b_core_2nd_bond_spring
+            )
+        else:
+            loop_spring = np.zeros((0,))
+        use_loops = bool(len(loop_pairs)) and bool(np.any(loop_spring != 0))
+
+        nuc_bonds = (
+            design.nucleolar_bonds
+            if design.nucleolar_bonds is not None
+            else np.zeros((0, 2), np.int64)
+        )
+        nuc_targets = np.unique(nuc_bonds[:, 1]) if len(nuc_bonds) else np.zeros(0, np.int64)
+        use_droplet = icfg.nucleolus_droplet_energy != 0 and len(nuc_targets) > 1
+
+        if settings is None:
+            settings = EngineSettings.auto(n, icfg)
+        cell_size = max(icfg.a_core_diameter, icfg.b_core_diameter)
+        grid = CellGrid.cubic(
+            bound=settings.grid_bound,
+            cell_size=cell_size,
+            capacity=settings.cell_capacity,
+        )
+
+        f = jnp.float32 if settings.dtype == "float32" else jnp.float64
+        return cls(
+            config=icfg,
+            n=n,
+            af=jnp.asarray(af, f),
+            bf=jnp.asarray(bf, f),
+            mobility=jnp.asarray(mobility, f),
+            bond_pairs=jnp.asarray(bond_pairs, jnp.int32).reshape(-1, 2),
+            bond_spring=jnp.asarray(bond_spring, f),
+            bond_length=jnp.asarray(bond_length, f),
+            loop_pairs=jnp.asarray(loop_pairs, jnp.int32).reshape(-1, 2),
+            loop_spring=jnp.asarray(loop_spring, f),
+            nuc_bonds=jnp.asarray(nuc_bonds, jnp.int32).reshape(-1, 2),
+            nuc_targets=jnp.asarray(nuc_targets, jnp.int32),
+            grid=grid,
+            settings=settings,
+            use_loops=use_loops,
+            use_droplet=use_droplet,
+        )
+
+    # -- scale schedule ------------------------------------------------------
+
+    def scales(self, t):
+        """Scheduled G1 decompaction (simulation_driver_interphase.cpp:67-76)."""
+        c = self.config
+        core = 1.0 - (1.0 - c.core_scale_init) * jnp.exp(-t / c.core_scale_tau)
+        bond = 1.0 - (1.0 - c.bond_scale_init) * jnp.exp(-t / c.bond_scale_tau)
+        return core, bond
+
+    # -- force field ---------------------------------------------------------
+
+    def _ab_params(self, core_scale):
+        c = self.config
+        return dict(
+            a_energy=c.a_core_repulsion,
+            a_diameter=c.a_core_diameter * core_scale,
+            b_energy=c.b_core_repulsion,
+            b_diameter=c.b_core_diameter * core_scale,
+        )
+
+    def _wall_params(self, core_scale):
+        c = self.config
+        return dict(
+            a_energy=c.a_core_repulsion,
+            a_diameter=c.a_core_diameter / 2 * core_scale,
+            b_energy=c.b_core_repulsion,
+            b_diameter=c.b_core_diameter / 2 * core_scale,
+            packing_spring=c.wall_packing_spring,
+        )
+
+    def _pair_kernels(self, core_scale, with_energy):
+        params = self._ab_params(core_scale)
+        af, bf = self.af, self.bf
+
+        def coeff(r2, i, j):
+            a_mix = 0.5 * (af[i] + af[j])
+            b_mix = 0.5 * (bf[i] + bf[j])
+            return pot.ab_pair_force_coeff(r2, a_mix, b_mix, params)
+
+        def energy(r2, i, j):
+            a_mix = 0.5 * (af[i] + af[j])
+            b_mix = 0.5 * (bf[i] + bf[j])
+            return pot.ab_pair_energy(r2, a_mix, b_mix, params)
+
+        return coeff, (energy if with_energy else None)
+
+    def forces(self, positions, table, core_scale, bond_scale, semiaxes,
+               with_energy=False):
+        """Total force field. Returns (forces, axial_reaction, energy)."""
+        c = self.config
+
+        coeff, energy_fn = self._pair_kernels(core_scale, with_energy)
+        forces, energy = pairwise_forces_cell(
+            self.grid, table, positions, coeff, energy_fn
+        )
+
+        # Chain bonds: fluctuation-preserving rescale K/s^2, l*s
+        # (simulation_driver_forcefield.cpp:78-88).
+        s2 = bond_scale * bond_scale
+        k_bond = self.bond_spring / s2
+        l_bond = self.bond_length * bond_scale
+        f, e = pair_bond_forces(
+            positions,
+            self.bond_pairs,
+            lambda r2: pot.semispring_energy(r2, k_bond, l_bond),
+            lambda r2: pot.semispring_force_coeff(r2, k_bond, l_bond),
+        )
+        forces, energy = forces + f, energy + e
+
+        if self.use_loops:
+            k_loop = self.loop_spring / s2
+            f, e = pair_bond_forces(
+                positions,
+                self.loop_pairs,
+                lambda r2: pot.harmonic_energy(r2, k_loop),
+                lambda r2: pot.harmonic_force_coeff(r2, k_loop),
+            )
+            forces, energy = forces + f, energy + e
+
+        if self.nuc_bonds.shape[0]:
+            k_nuc = c.nucleolus_bond_spring / s2
+            l_nuc = c.nucleolus_bond_length * bond_scale
+            f, e = pair_bond_forces(
+                positions,
+                self.nuc_bonds,
+                lambda r2: pot.semispring_energy(r2, k_nuc, l_nuc),
+                lambda r2: pot.semispring_force_coeff(r2, k_nuc, l_nuc),
+            )
+            forces, energy = forces + f, energy + e
+
+        if self.use_droplet:
+            cutoff = c.nucleolus_droplet_cutoff
+
+            def drop_u(r2, i, j):
+                return pot.cutoff_shift(
+                    lambda q: pot.softwell_energy(
+                        q, c.nucleolus_droplet_energy, c.nucleolus_droplet_decay, 6
+                    ),
+                    r2,
+                    cutoff,
+                )
+
+            def drop_c(r2, i, j):
+                inside = r2 < cutoff * cutoff
+                return jnp.where(
+                    inside,
+                    pot.softwell_force_coeff(
+                        r2, c.nucleolus_droplet_energy, c.nucleolus_droplet_decay, 6
+                    ),
+                    0.0,
+                )
+
+            f, e = pairwise_forces_dense(
+                positions, drop_c, drop_u if with_energy else None,
+                targets=self.nuc_targets,
+            )
+            forces, energy = forces + f, energy + e
+
+        # Nuclear envelope with axial reaction feedback.
+        wall_a = 0.5 * (self.af + c.wall_ab_factor.a)
+        wall_b = 0.5 * (self.bf + c.wall_ab_factor.b)
+        wf, reaction, we = wall_forces(
+            positions, semiaxes, wall_a, wall_b, self._wall_params(core_scale)
+        )
+        forces = forces + wf
+        energy = energy + we
+        return forces, reaction, energy
+
+    def total_energy(self, positions, table, core_scale, bond_scale, semiaxes):
+        _, _, energy = self.forces(
+            positions, table, core_scale, bond_scale, semiaxes, with_energy=True
+        )
+        return energy
+
+    # -- scan step functions -------------------------------------------------
+
+    def relaxation_step(self, carry, step):
+        """Displacement-limited BD at frozen init scales and wall
+        (simulation_driver_relaxation.cpp:8-56)."""
+        x, key, semiaxes, stats = carry
+        c = self.config
+        table, ov, fill = build_cell_table(self.grid, x)
+        stats = (jnp.maximum(stats[0], ov), jnp.maximum(stats[1], fill))
+        forces, _, _ = self.forces(
+            x, table, c.core_scale_init, c.bond_scale_init, semiaxes
+        )
+        key, sub = jax.random.split(key)
+        x = bd_update(
+            x,
+            forces,
+            self.mobility,
+            sub,
+            BDParams(c.temperature, c.timestep, c.relaxation_spacestep),
+        )
+        return (x, key, semiaxes, stats)
+
+    def interphase_step(self, carry, step):
+        """One G1 step: forces at lagged scales, BD update, contact count,
+        wall ODE (simulation_driver_interphase.cpp:16-63,79-90)."""
+        x, key, semiaxes, contact, stats = carry
+        c = self.config
+        dt = c.timestep
+        # Scales were last updated by the previous step's callback at
+        # time (step-1) * dt.
+        core_scale, bond_scale = self.scales((step - 1).astype(x.dtype) * dt)
+
+        table, ov, fill = build_cell_table(self.grid, x)
+        stats = (jnp.maximum(stats[0], ov), jnp.maximum(stats[1], fill))
+        forces, reaction, _ = self.forces(
+            x, table, core_scale, bond_scale, semiaxes
+        )
+        key, sub = jax.random.split(key)
+        x = bd_update(
+            x, forces, self.mobility, sub, BDParams(c.temperature, dt)
+        )
+
+        # Contact-map update every contactmap_update_interval steps, at the
+        # post-update positions and current (post-step) contact distance.
+        core_scale_now, _ = self.scales(step.astype(x.dtype) * dt)
+        contact = jax.lax.cond(
+            step % c.contactmap_update_interval == 0,
+            lambda ct: update_contact_counts(
+                ct, x, c.contactmap_distance * core_scale_now
+            ),
+            lambda ct: ct,
+            contact,
+        )
+
+        # Wall ODE: overdamped motion of the semiaxes under chromatin pressure
+        # (simulation_driver_interphase.cpp:79-90).
+        spring = jnp.asarray(c.wall_semiaxes_spring, x.dtype)
+        semiaxes = semiaxes + dt * c.wall_mobility * (reaction - spring * semiaxes)
+
+        return (x, key, semiaxes, contact, stats)
+
+    def fresh_contact_list(self, positions, core_scale) -> ContactList:
+        table, _, _ = build_cell_table(self.grid, positions)
+        cutoff = (
+            self.config.contactmap_distance * core_scale
+            + self.settings.contact_margin
+        )
+        return build_contact_list(
+            self.grid, table, positions, cutoff, self.settings.contact_capacity
+        )
+
+
+class _AdaptiveEngine:
+    """Capacity-adaptive compiled-function cache.
+
+    Fixed-capacity cell/contact tables need static shapes under jit; the
+    engine reruns a chunk with doubled capacity on overflow (results never
+    silently drop pairs) and shrinks capacity when the densest cell uses
+    under a third of it (the fresh post-mitotic structure is far denser than
+    the decondensed G1 nucleus, so one static choice would waste most of the
+    run).  Compiled chunks are cached per capacity so revisiting a bucket is
+    free.
+    """
+
+    MAX_CAPACITY = 4096
+
+    def __init__(self, design, config, settings: Optional[EngineSettings], log):
+        self.design = design
+        self.config = config
+        self.log = log
+        base = settings or EngineSettings.auto(
+            design.particle_count, config.interphase
+        )
+        self.settings = base
+        self.cell_capacity = base.cell_capacity
+        self.contact_capacity = base.contact_capacity
+        self._cache: dict[tuple[int, int], dict] = {}
+
+    def bundle(self) -> dict:
+        key = (self.cell_capacity, self.contact_capacity)
+        if key not in self._cache:
+            settings = dataclasses.replace(
+                self.settings,
+                cell_capacity=self.cell_capacity,
+                contact_capacity=self.contact_capacity,
+            )
+            model = InterphaseModel.from_design(self.design, self.config, settings)
+            c = model.config
+            relax_chunk = jax.jit(
+                lambda carry: jax.lax.scan(
+                    lambda cr, s: (model.relaxation_step(cr, s), None),
+                    carry,
+                    jnp.arange(c.relaxation_sampling_interval),
+                )[0]
+            )
+            inter_chunk = jax.jit(
+                lambda carry, start: jax.lax.scan(
+                    lambda cr, s: (model.interphase_step(cr, s), None),
+                    carry,
+                    start + 1 + jnp.arange(c.sampling_interval),
+                )[0],
+            )
+            energy = jax.jit(model.total_energy)
+            self._cache[key] = dict(
+                model=model, relax_chunk=relax_chunk, inter_chunk=inter_chunk,
+                energy=energy,
+            )
+        return self._cache[key]
+
+    def grow_cells(self):
+        if self.cell_capacity >= self.MAX_CAPACITY:
+            raise RuntimeError("cell capacity limit exceeded")
+        self.cell_capacity *= 2
+        self.log(f"engine: growing cell capacity to {self.cell_capacity}")
+
+    def shrink_cells_if_idle(self, max_fill: int):
+        if self.cell_capacity > 2 * max(max_fill, 4) and self.cell_capacity > 8:
+            self.cell_capacity //= 2
+            self.log(f"engine: shrinking cell capacity to {self.cell_capacity}")
+
+    def grow_contacts(self):
+        if self.contact_capacity >= self.MAX_CAPACITY:
+            raise RuntimeError("contact capacity limit exceeded")
+        self.contact_capacity *= 2
+        self.log(f"engine: growing contact capacity to {self.contact_capacity}")
+
+
+def run_interphase(
+    store: SimulationStore,
+    settings: Optional[EngineSettings] = None,
+    log=print,
+):
+    """Full interphase stage: relaxation then G1, with reference cadences."""
+    config = store.load_config()
+    design = store.load_interphase_design()
+    engine = _AdaptiveEngine(design, config, settings, log)
+    c = config.interphase
+    n = design.particle_count
+
+    key = jax.random.PRNGKey(design.seed)
+    key, relax_key, inter_key = jax.random.split(key, 3)
+
+    dtype = jnp.float32
+    semiaxes0 = jnp.asarray(c.wall_semiaxes_init, dtype)
+
+    def mean_energy(bundle, x, t, semiaxes):
+        model = bundle["model"]
+        core, bond = model.scales(jnp.asarray(t, x.dtype))
+        table, _, _ = build_cell_table(model.grid, x)
+        return float(bundle["energy"](x, table, core, bond, semiaxes)) / n
+
+    def zero_stats():
+        return (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+    # ---- relaxation phase --------------------------------------------------
+    store.set_stage("relaxation")
+    store.clear_frames()
+    x = jnp.asarray(store.load_positions(0), dtype)
+    if x.shape[0] != n:
+        raise ValueError("initial structure size mismatch")
+
+    def relax_context(bundle, x):
+        e = mean_energy(bundle, x, 0.0, semiaxes0)
+        return InterphaseContext(
+            time=0.0,
+            wall_semiaxes=tuple(float(v) for v in np.asarray(semiaxes0)),
+            core_scale=c.core_scale_init,
+            bond_scale=c.bond_scale_init,
+            mean_energy=e,
+        )
+
+    bundle = engine.bundle()
+    ctx = relax_context(bundle, x)
+    store.save_positions(0, np.asarray(x))
+    store.save_interphase_context(0, ctx)
+    store.append_frame(0)
+    log(progress_line("relaxation", 0, t=0.0, energy=ctx.mean_energy))
+
+    state = (x, relax_key, semiaxes0)
+    n_chunks = c.relaxation_steps // c.relaxation_sampling_interval
+    for chunk in range(n_chunks):
+        while True:
+            bundle = engine.bundle()
+            carry = bundle["relax_chunk"]((*state, zero_stats()))
+            overflow, max_fill = (int(v) for v in carry[3])
+            if overflow > 0:
+                engine.grow_cells()
+                continue
+            break
+        state = carry[:3]
+        engine.shrink_cells_if_idle(max_fill)
+        step = (chunk + 1) * c.relaxation_sampling_interval
+        x = state[0]
+        ctx = relax_context(bundle, x)
+        store.save_positions(step, np.asarray(x))
+        store.save_interphase_context(step, ctx)
+        store.append_frame(step)
+        log(progress_line("relaxation", step, t=0.0, energy=ctx.mean_energy))
+
+    # ---- interphase (G1) phase ---------------------------------------------
+    store.set_stage("interphase")
+    store.clear_frames()
+
+    sampling = c.sampling_interval
+    window_steps = sampling * c.contactmap_output_window
+
+    def save_frame(bundle, step, x, semiaxes, contacts_coo=None):
+        t = step * c.timestep
+        model = bundle["model"]
+        core, bond = model.scales(jnp.asarray(float(t)))
+        ctx = InterphaseContext(
+            time=t,
+            wall_semiaxes=tuple(float(v) for v in np.asarray(semiaxes)),
+            core_scale=float(core),
+            bond_scale=float(bond),
+            mean_energy=mean_energy(bundle, x, t, semiaxes),
+        )
+        store.save_positions(step, np.asarray(x))
+        store.save_interphase_context(step, ctx)
+        if contacts_coo is not None and len(contacts_coo):
+            store.save_contacts(step, contacts_coo)
+        store.append_frame(step)
+        return ctx
+
+    # callback(0): sample, one contact update, dump-and-clear the window
+    # (step 0 satisfies both cadences), then the wall gets its first
+    # (reaction-free) update.
+    bundle = engine.bundle()
+    model = bundle["model"]
+    semiaxes = semiaxes0
+    core0, _ = model.scales(jnp.asarray(0.0))
+    contact = model.fresh_contact_list(x, float(core0))
+    contact = update_contact_counts(contact, x, c.contactmap_distance * float(core0))
+    coo0 = merge_window([contact_list_to_host(contact)])
+    ctx = save_frame(bundle, 0, x, semiaxes, coo0)
+    log(progress_line("interphase", 0, t=0.0, energy=ctx.mean_energy))
+    spring = jnp.asarray(c.wall_semiaxes_spring, dtype)
+    semiaxes = semiaxes + c.timestep * c.wall_mobility * (0.0 - spring * semiaxes)
+
+    window_chunks = []
+    state = (x, inter_key, semiaxes)
+
+    n_chunks = c.steps // sampling
+    for chunk in range(n_chunks):
+        start = chunk * sampling
+        while True:
+            bundle = engine.bundle()
+            model = bundle["model"]
+            core_now, _ = model.scales(jnp.asarray(start * c.timestep))
+            contact = model.fresh_contact_list(state[0], float(core_now))
+            if int(contact.overflow) > 0:
+                engine.grow_contacts()
+                continue
+            carry = bundle["inter_chunk"]((*state, contact, zero_stats()), start)
+            x, k, semiaxes, contact, stats = carry
+            overflow, max_fill = (int(v) for v in stats)
+            if overflow > 0:
+                engine.grow_cells()
+                continue
+            if int(contact.overflow) > 0:
+                engine.grow_contacts()
+                continue
+            break
+        state = (x, k, semiaxes)
+        engine.shrink_cells_if_idle(max_fill)
+        step = start + sampling
+
+        window_chunks.append(contact_list_to_host(contact))
+
+        contacts_coo = None
+        if step % window_steps == 0:
+            contacts_coo = merge_window(window_chunks)
+            window_chunks = []
+
+        ctx = save_frame(bundle, step, x, semiaxes, contacts_coo)
+        if step % c.logging_interval == 0:
+            log(
+                progress_line(
+                    "interphase", step, t=step * c.timestep,
+                    energy=ctx.mean_energy,
+                    radius=float(np.cbrt(np.prod(np.asarray(semiaxes)))),
+                )
+            )
+
+    return np.asarray(state[0])

@@ -1,0 +1,125 @@
+"""Cell-list neighbor engine vs O(N^2) brute force, and contact accumulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genome_cycle_tpu.ops import potentials as pot
+from genome_cycle_tpu.ops.contact import (
+    build_contact_list,
+    contact_list_to_host,
+    merge_window,
+    update_contact_counts,
+)
+from genome_cycle_tpu.ops.neighbor import (
+    CellGrid,
+    build_cell_table,
+    pairwise_forces_cell,
+    pairwise_forces_dense,
+)
+
+
+def softcore_fns(energy=2.0, diameter=0.3):
+    def coeff(r2, i, j):
+        return pot.softcore_force_coeff(r2, energy, diameter, 2, 3)
+
+    def u(r2, i, j):
+        return pot.softcore_energy(r2, energy, diameter, 2, 3)
+
+    return coeff, u
+
+
+@pytest.mark.parametrize("n", [64, 500])
+def test_cell_vs_dense(rng, n):
+    positions = jnp.asarray(rng.uniform(-1.0, 1.0, size=(n, 3)), jnp.float32)
+    grid = CellGrid.cubic(bound=1.5, cell_size=0.3, capacity=64)
+    table, overflow, max_fill = build_cell_table(grid, positions)
+    assert int(overflow) == 0
+    assert 0 < int(max_fill) <= grid.capacity
+    coeff, u = softcore_fns()
+    f_cell, e_cell = pairwise_forces_cell(grid, table, positions, coeff, u)
+    f_dense, e_dense = pairwise_forces_dense(positions, coeff, u)
+    np.testing.assert_allclose(np.asarray(f_cell), np.asarray(f_dense), atol=1e-4)
+    assert float(e_cell) == pytest.approx(float(e_dense), rel=1e-5)
+
+
+def test_out_of_grid_beads_still_interact(rng):
+    # Beads outside the grid bounds are clamped to boundary cells but keep
+    # their true coordinates; pairs spanning the boundary must still be found.
+    positions = jnp.asarray(
+        [[1.95, 0.0, 0.0], [2.15, 0.0, 0.0], [-2.4, 0.0, 0.0], [-2.5, 0.1, 0.0]],
+        jnp.float32,
+    )
+    grid = CellGrid.cubic(bound=2.0, cell_size=0.3, capacity=8)
+    table, _, _ = build_cell_table(grid, positions)
+    coeff, u = softcore_fns(diameter=0.4)
+    f_cell, e_cell = pairwise_forces_cell(grid, table, positions, coeff, u)
+    f_dense, e_dense = pairwise_forces_dense(positions, coeff, u)
+    np.testing.assert_allclose(np.asarray(f_cell), np.asarray(f_dense), atol=1e-5)
+    assert float(e_cell) == pytest.approx(float(e_dense), rel=1e-5)
+    assert float(e_cell) > 0  # the clamped pairs really interact
+
+
+def test_capacity_overflow_detected(rng):
+    positions = jnp.asarray(rng.normal(0, 0.01, size=(100, 3)), jnp.float32)
+    grid = CellGrid.cubic(bound=1.0, cell_size=0.3, capacity=16)
+    _, overflow, max_fill = build_cell_table(grid, positions)
+    assert int(overflow) == 100 - 16
+    assert int(max_fill) == 100
+
+
+def test_dense_targets_subset(rng):
+    # set_neighbor_targets semantics: only listed particles interact.
+    positions = jnp.asarray(rng.uniform(-0.1, 0.1, size=(10, 3)), jnp.float32)
+    coeff, u = softcore_fns()
+    targets = jnp.asarray([0, 3, 7], jnp.int32)
+    f, e = pairwise_forces_dense(positions, coeff, u, targets=targets)
+    others = np.setdiff1d(np.arange(10), np.asarray(targets))
+    np.testing.assert_array_equal(np.asarray(f)[others], 0.0)
+    assert float(e) > 0
+
+
+def test_contact_accumulation(rng):
+    n = 200
+    positions = jnp.asarray(rng.uniform(-0.8, 0.8, size=(n, 3)), jnp.float32)
+    grid = CellGrid.cubic(bound=1.0, cell_size=0.3, capacity=64)
+    table, _, _ = build_cell_table(grid, positions)
+    distance = 0.24
+    contact = build_contact_list(grid, table, positions, cutoff=0.3, capacity=64)
+    assert int(contact.overflow) == 0
+    contact = update_contact_counts(contact, positions, distance)
+    contact = update_contact_counts(contact, positions, distance)
+
+    i, j, c = contact_list_to_host(contact)
+    coo = merge_window([(i, j, c)])
+
+    # Brute-force expected contacts.
+    p = np.asarray(positions)
+    d2 = np.sum((p[:, None] - p[None, :]) ** 2, axis=-1)
+    iu, ju = np.triu_indices(n, k=1)
+    hits = d2[iu, ju] < distance**2
+    expected = np.stack([iu[hits], ju[hits], np.full(hits.sum(), 2)], axis=1)
+    order = np.lexsort((expected[:, 1], expected[:, 0]))
+    expected = expected[order]
+
+    np.testing.assert_array_equal(coo, expected)
+    # Sorted by packed (i << 32 | j) key.
+    keys = (coo[:, 0].astype(np.uint64) << np.uint64(32)) | coo[:, 1].astype(np.uint64)
+    assert (np.diff(keys.astype(np.int64)) > 0).all()
+
+
+def test_contact_margin_tracks_moved_beads(rng):
+    # Beads listed with a margin keep counting after small drifts.
+    positions = jnp.asarray([[0.0, 0, 0], [0.3, 0, 0]], jnp.float32)
+    grid = CellGrid.cubic(bound=1.0, cell_size=0.5, capacity=8)
+    table, _, _ = build_cell_table(grid, positions)
+    contact = build_contact_list(grid, table, positions, cutoff=0.45, capacity=4)
+    # Initially out of contact range (0.3 > 0.24): no count.
+    contact = update_contact_counts(contact, positions, 0.24)
+    # Drift together: now counted without rebuilding the list.
+    moved = jnp.asarray([[0.05, 0, 0], [0.25, 0, 0]], jnp.float32)
+    contact = update_contact_counts(contact, moved, 0.24)
+    i, j, c = contact_list_to_host(contact)
+    coo = merge_window([(i, j, c)])
+    np.testing.assert_array_equal(coo, [[0, 1, 1]])
