@@ -1,0 +1,161 @@
+"""Benchmark: interphase BD hot loop at a 100k-bead nucleus on one chip.
+
+Prints ONE JSON line:
+    {"metric": "bead_steps_per_s_per_chip", "value": N, "unit": "bead-steps/s",
+     "vs_baseline": R}
+
+The primary metric follows BASELINE.md: bead-steps/s/chip for the full
+interphase force field (cell-list A/B softcore, chain bonds, nucleolar
+terms, moving ellipsoid wall with reaction, contact counting cadence, BD
+update).  ``vs_baseline`` compares against a single-threaded C++ cell-list
+implementation of the same force field compiled with -O2 -march=native
+(bench_baseline.cpp) — the reference itself cannot be built here because its
+micromd submodule is not vendored (SURVEY.md §2.9), so this stands in as the
+reference-equivalent CPU baseline; its throughput is cached in
+bench_baseline.json after the first run.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+N_BEADS = 100_000
+CHAINS = 46
+BENCH_STEPS = 200
+BASELINE_CACHE = REPO / "bench_baseline.json"
+
+
+def _measure_variant(use_pallas, use_dense):
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(REPO))
+    import __graft_entry__ as ge
+    from genome_cycle_tpu.models.interphase import EngineSettings
+
+    settings = EngineSettings(
+        cell_capacity=64,
+        contact_capacity=64,
+        grid_bound=9.0,
+        dense_bound=3.0,
+        use_dense_grid=use_dense,
+        use_pallas=use_pallas,
+    )
+    model = ge._make_model(n_beads=N_BEADS, chains=CHAINS, settings=settings)
+
+    x = jnp.asarray(ge._ball(model.n, radius=1.8))
+    key = jax.random.PRNGKey(0)
+    semiaxes = jnp.asarray([2.0, 2.0, 2.0], jnp.float32)
+    contact = model.fresh_contact_list(x, float(model.scales(0.0)[0]))
+    stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    carry = (x, key, semiaxes, contact, stats)
+
+    chunk = jax.jit(
+        lambda carry, start: jax.lax.scan(
+            lambda cr, s: (model.interphase_step(cr, s), None),
+            carry,
+            start + 1 + jnp.arange(BENCH_STEPS),
+        )[0]
+    )
+
+    # Warmup (compile + first run).
+    carry = chunk(carry, jnp.asarray(0))
+    jax.block_until_ready(carry[0])
+
+    t0 = time.perf_counter()
+    reps = 3
+    for r in range(reps):
+        carry = chunk(carry, jnp.asarray((r + 1) * BENCH_STEPS))
+    jax.block_until_ready(carry[0])
+    dt = (time.perf_counter() - t0) / reps
+
+    steps_per_s = BENCH_STEPS / dt
+    return steps_per_s * model.n, steps_per_s
+
+
+def measure_tpu():
+    """Measure the fastest engine variant that works on this box.
+
+    Each variant runs in a subprocess with a hard timeout: the experimental
+    axon TPU tunnel has been observed to wedge on specific Mosaic compiles,
+    and a hang must cost a variant, not the whole benchmark.
+    """
+    variants = [
+        ("pallas", True, True),
+        ("dense-xla", False, True),
+        ("gather-xla", False, False),
+    ]
+    for name, use_pallas, use_dense in variants:
+        code = (
+            "import sys, json; sys.path.insert(0, %r); import bench; "
+            "bs, sp = bench._measure_variant(%r, %r); "
+            "print('BENCHRESULT ' + json.dumps({'bead_steps': bs, 'steps': sp}))"
+            % (str(REPO), use_pallas, use_dense)
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=900,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("BENCHRESULT "):
+                    data = json.loads(line[len("BENCHRESULT "):])
+                    print(f"variant {name}: {data['bead_steps']:.3g} bead-steps/s",
+                          file=sys.stderr)
+                    return data["bead_steps"], data["steps"], name
+            print(f"variant {name} failed:\n{out.stderr[-2000:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"variant {name} timed out", file=sys.stderr)
+    raise RuntimeError("all engine variants failed")
+
+
+def measure_baseline():
+    """Single-thread C++ cell-list baseline (reference-equivalent)."""
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())["bead_steps_per_s"]
+    src = REPO / "genome_cycle_tpu" / "native" / "bench_baseline.cpp"
+    if not src.exists():
+        return None
+    exe = REPO / "bench_baseline"
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-march=native", "-funsafe-math-optimizations",
+             "-std=c++17", "-o", str(exe), str(src)],
+            check=True, capture_output=True,
+        )
+        out = subprocess.run(
+            [str(exe), str(N_BEADS), "20"],
+            check=True, capture_output=True, text=True, timeout=1200,
+        )
+        value = float(json.loads(out.stdout.strip())["bead_steps_per_s"])
+        BASELINE_CACHE.write_text(json.dumps({"bead_steps_per_s": value}))
+        return value
+    except Exception as ex:
+        print(f"baseline build/run failed: {ex}", file=sys.stderr)
+        return None
+
+
+def main():
+    bead_steps, steps_per_s, variant = measure_tpu()
+    baseline = measure_baseline()
+    vs = (bead_steps / baseline) if baseline else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "bead_steps_per_s_per_chip",
+                "value": round(bead_steps),
+                "unit": "bead-steps/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

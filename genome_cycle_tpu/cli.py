@@ -32,7 +32,37 @@ def _add_store_cmd(sub, name, help_text):
     return p
 
 
+ANALYSIS_COMMANDS = {
+    "nci": "genome_cycle_tpu.analysis.nci",
+    "annotate": "genome_cycle_tpu.analysis.annotate",
+    "cool": "genome_cycle_tpu.analysis.cool",
+    "dephase": "genome_cycle_tpu.analysis.dephase",
+    "pc1": "genome_cycle_tpu.analysis.pc1",
+    "dumpgsd": "genome_cycle_tpu.analysis.dumpgsd",
+}
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+
+    # Analysis tools keep their own argparse CLIs (mirroring the reference's
+    # scripts/_run_py symlink dispatch); forward to them.
+    if argv and argv[0] in ANALYSIS_COMMANDS:
+        import importlib
+
+        module = importlib.import_module(ANALYSIS_COMMANDS[argv[0]])
+        old_argv = sys.argv
+        sys.argv = [argv[0]] + list(argv[1:])
+        try:
+            from .analysis.common import invoke_main
+            import logging
+
+            invoke_main(module.main, module.parse_args(), logging.getLogger())
+        finally:
+            sys.argv = old_argv
+        return
+
     parser = argparse.ArgumentParser(
         prog="genome_cycle_tpu",
         description="TPU-native whole-genome cell-cycle simulator",
@@ -69,6 +99,11 @@ def main(argv=None):
     p.add_argument("-o", "--output-prefix", required=True)
     p.add_argument("config")
     p.add_argument("chains")
+
+    sub.add_parser(
+        "analysis-help",
+        help="analysis tools: " + ", ".join(ANALYSIS_COMMANDS),
+    )
 
     args = parser.parse_args(argv)
     log = log_stderr

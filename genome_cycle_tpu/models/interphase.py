@@ -36,6 +36,12 @@ from ..ops.contact import (
     update_contact_counts,
 )
 from ..ops.integrator import BDParams, bd_update
+from ..ops.dense_grid import (
+    DenseGrid,
+    build_slabs,
+    pair_forces_slab,
+    scatter_from_slab,
+)
 from ..ops.neighbor import (
     CellGrid,
     build_cell_table,
@@ -56,6 +62,12 @@ class EngineSettings:
     contact_margin: float = 0.25
     grid_bound: float = 8.0
     dtype: str = "float32"
+    # Dense-slab pair engine (gather-free; the TPU-fast path).  The gather
+    # fold remains as the readable reference implementation and for tests.
+    use_dense_grid: bool = True
+    dense_bound: float = 4.0
+    # Fused Pallas kernel for the pair force (None = auto: on for TPU).
+    use_pallas: Optional[bool] = None
 
     @classmethod
     def auto(cls, n_particles: int, config: InterphaseConfig) -> "EngineSettings":
@@ -92,6 +104,7 @@ class InterphaseModel:
     settings: EngineSettings
     use_loops: bool
     use_droplet: bool
+    dense_grid: Optional[DenseGrid] = None
 
     # -- construction --------------------------------------------------------
 
@@ -153,6 +166,13 @@ class InterphaseModel:
             cell_size=cell_size,
             capacity=settings.cell_capacity,
         )
+        dense_grid = None
+        if settings.use_dense_grid:
+            dense_grid = DenseGrid.cubic(
+                bound=settings.dense_bound,
+                cell_size=cell_size,
+                capacity=settings.cell_capacity,
+            )
 
         f = jnp.float32 if settings.dtype == "float32" else jnp.float64
         return cls(
@@ -172,6 +192,7 @@ class InterphaseModel:
             settings=settings,
             use_loops=use_loops,
             use_droplet=use_droplet,
+            dense_grid=dense_grid,
         )
 
     # -- scale schedule ------------------------------------------------------
@@ -220,15 +241,13 @@ class InterphaseModel:
 
         return coeff, (energy if with_energy else None)
 
-    def forces(self, positions, table, core_scale, bond_scale, semiaxes,
-               with_energy=False):
-        """Total force field. Returns (forces, axial_reaction, energy)."""
+    def bonded_forces(self, positions, bond_scale, with_energy=False):
+        """All topology-indexed terms: chain bonds, loops, nucleolar bonds,
+        nucleolar droplet. Cheap O(N); computed for the full system even on
+        spatially sharded devices."""
         c = self.config
-
-        coeff, energy_fn = self._pair_kernels(core_scale, with_energy)
-        forces, energy = pairwise_forces_cell(
-            self.grid, table, positions, coeff, energy_fn
-        )
+        forces = jnp.zeros_like(positions)
+        energy = jnp.asarray(0.0, positions.dtype)
 
         # Chain bonds: fluctuation-preserving rescale K/s^2, l*s
         # (simulation_driver_forcefield.cpp:78-88).
@@ -292,34 +311,146 @@ class InterphaseModel:
             )
             forces, energy = forces + f, energy + e
 
-        # Nuclear envelope with axial reaction feedback.
-        wall_a = 0.5 * (self.af + c.wall_ab_factor.a)
-        wall_b = 0.5 * (self.bf + c.wall_ab_factor.b)
-        wf, reaction, we = wall_forces(
-            positions, semiaxes, wall_a, wall_b, self._wall_params(core_scale)
+        return forces, energy
+
+    def pair_forces_rows(self, positions, table, core_scale, query=None,
+                         with_energy=False):
+        """A/B copolymer repulsion for a row block (full system if query is
+        None)."""
+        coeff, energy_fn = self._pair_kernels(core_scale, with_energy)
+        return pairwise_forces_cell(
+            self.grid, table, positions, coeff, energy_fn, query=query
+        )
+
+    def pair_forces_full(self, positions, core_scale, with_energy=False):
+        """A/B copolymer repulsion for the whole system.
+
+        Uses the gather-free dense-slab engine when enabled (the TPU hot
+        path); returns (forces (N,3), energy, overflow, max_fill).
+        """
+        if self.dense_grid is None:
+            table, ov, fill = build_cell_table(self.grid, positions)
+            forces, energy = self.pair_forces_rows(
+                positions, table, core_scale, with_energy=with_energy
+            )
+            return forces, energy, ov, fill
+
+        params = self._ab_params(core_scale)
+
+        use_pallas = self.settings.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and not with_energy:
+            from ..ops.pallas_kernels import (
+                ab_pair_forces_pallas,
+                build_padded_slab,
+                forces_to_beads,
+            )
+
+            m = self.dense_grid.capacity
+            # j-side sublane chunk: bound the (M, JB, plane) live temporaries.
+            chunk = m if m <= 32 else (16 if m <= 64 else 8)
+            slab, ids, overflow, max_fill = build_padded_slab(
+                self.dense_grid, positions, self.af, self.bf
+            )
+            kparams = jnp.asarray(
+                [
+                    params["a_energy"],
+                    1.0 / (params["a_diameter"] * params["a_diameter"]),
+                    params["b_energy"],
+                    1.0 / (params["b_diameter"] * params["b_diameter"]),
+                ],
+                jnp.float32,
+            )
+            planes = ab_pair_forces_pallas(
+                slab, kparams, self.dense_grid.dims, m, chunk
+            )
+            forces = forces_to_beads(planes, ids, self.n)
+            zero = jnp.asarray(0.0, positions.dtype)
+            return forces, zero, overflow, max_fill
+
+        slabs = build_slabs(
+            self.dense_grid, positions, extras=(self.af, self.bf)
+        )
+
+        def coeff(r2, ai, bi, aj, bj):
+            return pot.ab_pair_force_coeff(
+                r2, 0.5 * (ai + aj), 0.5 * (bi + bj), params
+            )
+
+        energy_fn = None
+        if with_energy:
+            def energy_fn(r2, ai, bi, aj, bj):
+                return pot.ab_pair_energy(
+                    r2, 0.5 * (ai + aj), 0.5 * (bi + bj), params
+                )
+
+        force_slab, energy = pair_forces_slab(
+            self.dense_grid, slabs, coeff, energy_fn
+        )
+        forces = scatter_from_slab(force_slab, slabs.ids, self.n)
+        return forces, energy, slabs.overflow, slabs.max_fill
+
+    def wall_forces_rows(self, q_pos, q_ids, semiaxes, core_scale):
+        """Nuclear envelope for a row block; returns (forces, reaction,
+        energy) — reaction must be psum'd over row shards when sharded."""
+        c = self.config
+        wall_a = 0.5 * (self.af[q_ids] + c.wall_ab_factor.a)
+        wall_b = 0.5 * (self.bf[q_ids] + c.wall_ab_factor.b)
+        return wall_forces(
+            q_pos, semiaxes, wall_a, wall_b, self._wall_params(core_scale)
+        )
+
+    def forces(self, positions, table, core_scale, bond_scale, semiaxes,
+               with_energy=False):
+        """Total force field. Returns (forces, axial_reaction, energy)."""
+        forces, energy = self.pair_forces_rows(
+            positions, table, core_scale, with_energy=with_energy
+        )
+        f, e = self.bonded_forces(positions, bond_scale, with_energy)
+        forces, energy = forces + f, energy + e
+
+        wf, reaction, we = self.wall_forces_rows(
+            positions,
+            jnp.arange(self.n, dtype=jnp.int32),
+            semiaxes,
+            core_scale,
         )
         forces = forces + wf
         energy = energy + we
         return forces, reaction, energy
 
-    def total_energy(self, positions, table, core_scale, bond_scale, semiaxes):
-        _, _, energy = self.forces(
-            positions, table, core_scale, bond_scale, semiaxes, with_energy=True
+    def total_energy(self, positions, core_scale, bond_scale, semiaxes):
+        _, _, energy, _, _ = self._assemble_forces(
+            positions, core_scale, bond_scale, semiaxes, with_energy=True
         )
         return energy
 
     # -- scan step functions -------------------------------------------------
+
+    def _assemble_forces(self, x, core_scale, bond_scale, semiaxes,
+                         with_energy=False):
+        """Full force field via the fast pair path.
+        Returns (forces, reaction, energy, overflow, max_fill)."""
+        forces, energy, ov, fill = self.pair_forces_full(
+            x, core_scale, with_energy=with_energy
+        )
+        f, e = self.bonded_forces(x, bond_scale, with_energy)
+        forces, energy = forces + f, energy + e
+        wf, reaction, we = self.wall_forces_rows(
+            x, jnp.arange(self.n, dtype=jnp.int32), semiaxes, core_scale
+        )
+        return forces + wf, reaction, energy + we, ov, fill
 
     def relaxation_step(self, carry, step):
         """Displacement-limited BD at frozen init scales and wall
         (simulation_driver_relaxation.cpp:8-56)."""
         x, key, semiaxes, stats = carry
         c = self.config
-        table, ov, fill = build_cell_table(self.grid, x)
-        stats = (jnp.maximum(stats[0], ov), jnp.maximum(stats[1], fill))
-        forces, _, _ = self.forces(
-            x, table, c.core_scale_init, c.bond_scale_init, semiaxes
+        forces, _, _, ov, fill = self._assemble_forces(
+            x, c.core_scale_init, c.bond_scale_init, semiaxes
         )
+        stats = (jnp.maximum(stats[0], ov), jnp.maximum(stats[1], fill))
         key, sub = jax.random.split(key)
         x = bd_update(
             x,
@@ -340,11 +471,10 @@ class InterphaseModel:
         # time (step-1) * dt.
         core_scale, bond_scale = self.scales((step - 1).astype(x.dtype) * dt)
 
-        table, ov, fill = build_cell_table(self.grid, x)
-        stats = (jnp.maximum(stats[0], ov), jnp.maximum(stats[1], fill))
-        forces, reaction, _ = self.forces(
-            x, table, core_scale, bond_scale, semiaxes
+        forces, reaction, _, ov, fill = self._assemble_forces(
+            x, core_scale, bond_scale, semiaxes
         )
+        stats = (jnp.maximum(stats[0], ov), jnp.maximum(stats[1], fill))
         key, sub = jax.random.split(key)
         x = bd_update(
             x, forces, self.mobility, sub, BDParams(c.temperature, dt)
@@ -404,15 +534,28 @@ class _AdaptiveEngine:
         self.settings = base
         self.cell_capacity = base.cell_capacity
         self.contact_capacity = base.contact_capacity
-        self._cache: dict[tuple[int, int], dict] = {}
+        self.dense_bound = base.dense_bound
+        self._cache: dict[tuple, dict] = {}
+
+    def update_bound(self, max_abs_coord: float):
+        """Track the occupied extent; the dense grid stays tight around it
+        (empty cells cost dense-slab compute)."""
+        needed = float(np.ceil(max_abs_coord + 0.5))
+        if needed != self.dense_bound and abs(needed - self.dense_bound) >= 1.0:
+            self.log(f"engine: dense grid bound -> {needed}")
+            self.dense_bound = needed
+        elif needed > self.dense_bound:
+            self.log(f"engine: dense grid bound -> {needed}")
+            self.dense_bound = needed
 
     def bundle(self) -> dict:
-        key = (self.cell_capacity, self.contact_capacity)
+        key = (self.cell_capacity, self.contact_capacity, self.dense_bound)
         if key not in self._cache:
             settings = dataclasses.replace(
                 self.settings,
                 cell_capacity=self.cell_capacity,
                 contact_capacity=self.contact_capacity,
+                dense_bound=self.dense_bound,
             )
             model = InterphaseModel.from_design(self.design, self.config, settings)
             c = model.config
@@ -476,8 +619,7 @@ def run_interphase(
     def mean_energy(bundle, x, t, semiaxes):
         model = bundle["model"]
         core, bond = model.scales(jnp.asarray(t, x.dtype))
-        table, _, _ = build_cell_table(model.grid, x)
-        return float(bundle["energy"](x, table, core, bond, semiaxes)) / n
+        return float(bundle["energy"](x, core, bond, semiaxes)) / n
 
     def zero_stats():
         return (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
@@ -488,6 +630,7 @@ def run_interphase(
     x = jnp.asarray(store.load_positions(0), dtype)
     if x.shape[0] != n:
         raise ValueError("initial structure size mismatch")
+    engine.update_bound(float(np.abs(np.asarray(x)).max()))
 
     def relax_context(bundle, x):
         e = mean_energy(bundle, x, 0.0, semiaxes0)
@@ -521,6 +664,7 @@ def run_interphase(
         engine.shrink_cells_if_idle(max_fill)
         step = (chunk + 1) * c.relaxation_sampling_interval
         x = state[0]
+        engine.update_bound(float(np.abs(np.asarray(x)).max()))
         ctx = relax_context(bundle, x)
         store.save_positions(step, np.asarray(x))
         store.save_interphase_context(step, ctx)
@@ -593,6 +737,7 @@ def run_interphase(
             break
         state = (x, k, semiaxes)
         engine.shrink_cells_if_idle(max_fill)
+        engine.update_bound(float(np.abs(np.asarray(x)).max()))
         step = start + sampling
 
         window_chunks.append(contact_list_to_host(contact))

@@ -38,25 +38,35 @@ class ContactList(NamedTuple):
 
 
 def build_contact_list(
-    grid: CellGrid, table, positions, cutoff, capacity: int
+    grid: CellGrid, table, positions, cutoff, capacity: int, query=None
 ) -> ContactList:
-    """Compact all pairs (i < j) with |x_i - x_j| < cutoff into row slots."""
-    n = positions.shape[0]
-    i_ids = jnp.arange(n, dtype=jnp.int32)
+    """Compact all pairs (i < j) with |x_i - x_j| < cutoff into row slots.
+
+    With ``query=(q_pos, q_ids)`` only the given row block's pairs are listed
+    (rows of the returned arrays correspond to the block), for spatially
+    sharded accumulation.
+    """
+    if query is None:
+        q_pos = positions
+        q_ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
+    else:
+        q_pos, q_ids = query
+    nq = q_pos.shape[0]
     cutoff2 = jnp.asarray(cutoff * cutoff, positions.dtype)
 
-    ids0 = jnp.full((n, capacity), -1, dtype=jnp.int32)
-    fill0 = jnp.zeros((n,), jnp.int32)
+    ids0 = jnp.full((nq, capacity), -1, dtype=jnp.int32)
+    fill0 = jnp.zeros((nq,), jnp.int32)
     over0 = jnp.zeros((), jnp.int32)
+    row_ids = jnp.arange(nq, dtype=jnp.int32)
 
     def kernel(carry, j_ids, dx, r2, valid):
         ids, fill, over = carry
-        take = valid & (j_ids > i_ids[:, None]) & (r2 < cutoff2)
+        take = valid & (j_ids > q_ids[:, None]) & (r2 < cutoff2)
         # Row-wise slot assignment: running fill + prefix position.
         prefix = jnp.cumsum(take.astype(jnp.int32), axis=1)
         slot = fill[:, None] + prefix - 1
         ok = take & (slot < capacity)
-        rows = jnp.broadcast_to(i_ids[:, None], j_ids.shape)
+        rows = jnp.broadcast_to(row_ids[:, None], j_ids.shape)
         ids = ids.at[rows, jnp.where(ok, slot, capacity)].set(
             jnp.where(ok, j_ids, -1), mode="drop"
         )
@@ -65,37 +75,45 @@ def build_contact_list(
         return ids, new_fill, over
 
     ids, fill, over = neighbor_fold(
-        grid, table, positions, kernel, (ids0, fill0, over0)
+        grid, table, positions, kernel, (ids0, fill0, over0), query=(q_pos, q_ids)
     )
-    counts = jnp.zeros((n, capacity), jnp.int32)
+    counts = jnp.zeros((nq, capacity), jnp.int32)
     return ContactList(
         ids=ids, counts=counts, fill=jnp.minimum(fill, capacity), overflow=over
     )
 
 
 def update_contact_counts(
-    contact: ContactList, positions, contact_distance
+    contact: ContactList, positions, contact_distance, q_pos=None
 ) -> ContactList:
     """Count one contact event for each listed pair currently within distance.
 
     The reference counts each found pair once per neighbor-searcher pass
     (contact_map.cpp:33-63); this is the same event semantics on the frozen
-    pair list.
+    pair list.  ``q_pos`` supplies the row block's own positions when the
+    list rows are a shard of the system.
     """
+    if q_pos is None:
+        q_pos = positions
     valid = contact.ids >= 0
     j_pos = positions[jnp.maximum(contact.ids, 0)]
-    dx = positions[:, None, :] - j_pos
+    dx = q_pos[:, None, :] - j_pos
     r2 = jnp.sum(dx * dx, axis=-1)
     hit = valid & (r2 < contact_distance * contact_distance)
     return contact._replace(counts=contact.counts + hit.astype(jnp.int32))
 
 
-def contact_list_to_host(contact: ContactList):
-    """Extract (i, j, count) numpy arrays (only occupied, nonzero slots)."""
+def contact_list_to_host(contact: ContactList, row_ids=None):
+    """Extract (i, j, count) numpy arrays (only occupied, nonzero slots).
+
+    ``row_ids`` maps local rows to global bead ids for sharded lists.
+    """
     ids = np.asarray(contact.ids)
     counts = np.asarray(contact.counts)
     n, capacity = ids.shape
-    rows = np.repeat(np.arange(n, dtype=np.int64), capacity)
+    if row_ids is None:
+        row_ids = np.arange(n, dtype=np.int64)
+    rows = np.repeat(np.asarray(row_ids, np.int64), capacity)
     flat_ids = ids.reshape(-1).astype(np.int64)
     flat_counts = counts.reshape(-1)
     keep = (flat_ids >= 0) & (flat_counts > 0)
@@ -116,10 +134,12 @@ def merge_window(chunks) -> np.ndarray:
     if len(i) == 0:
         return np.zeros((0, 3), dtype=np.int32)
     keys = (i.astype(np.uint64) << np.uint64(32)) | j.astype(np.uint64)
-    uniq, inverse = np.unique(keys, return_inverse=True)
-    sums = np.bincount(inverse, weights=w.astype(np.float64), minlength=len(uniq))
+
+    from .. import native
+
+    uniq, sums = native.merge_contact_events(keys, w)
     out = np.empty((len(uniq), 3), dtype=np.int32)
     out[:, 0] = (uniq >> np.uint64(32)).astype(np.int32)
     out[:, 1] = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int32)
-    out[:, 2] = np.rint(sums).astype(np.int32)
+    out[:, 2] = sums.astype(np.int32)
     return out

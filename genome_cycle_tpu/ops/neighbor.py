@@ -102,25 +102,33 @@ _OFFSETS = np.stack(
 ).reshape(27, 3)
 
 
-def neighbor_fold(grid: CellGrid, table, positions, kernel, init):
+def neighbor_fold(grid: CellGrid, table, positions, kernel, init, query=None):
     """Fold ``kernel`` over all candidate neighbor pairs.
 
     ``kernel(carry, j_ids, dx, r2, valid) -> carry`` is called 27 times (one
     per adjacent-cell offset) with:
 
-    - ``j_ids``  (N, capacity) int32 candidate bead indices
-    - ``dx``     (N, capacity, 3)  positions[i] - positions[j]
-    - ``r2``     (N, capacity)     squared distances
-    - ``valid``  (N, capacity) bool: real entry, j != i, neighbor cell in grid
+    - ``j_ids``  (Q, capacity) int32 candidate bead indices
+    - ``dx``     (Q, capacity, 3)  query[i] - positions[j]
+    - ``r2``     (Q, capacity)     squared distances
+    - ``valid``  (Q, capacity) bool: real entry, j != i, neighbor cell in grid
+
+    ``query``: optional ``(q_pos (Q,3), q_ids (Q,))`` restricting the i side
+    to a subset of beads — the hook spatially-sharded devices use to compute
+    forces only for their owned row block while reading the full bead table.
+    Defaults to all beads.
 
     Every unordered pair appears twice (once per side), so symmetric energies
     must be halved by the kernel; per-i force accumulation needs no scatter.
     """
-    n = positions.shape[0]
-    coords = cell_coords(grid, positions)
+    if query is None:
+        q_pos = positions
+        q_ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
+    else:
+        q_pos, q_ids = query
+    coords = cell_coords(grid, q_pos)
     dims = jnp.asarray(grid.dims, jnp.int32)
     nx, ny, nz = grid.dims
-    i_ids = jnp.arange(n, dtype=jnp.int32)
     offsets = jnp.asarray(_OFFSETS, jnp.int32)
 
     def body(k, carry):
@@ -128,10 +136,10 @@ def neighbor_fold(grid: CellGrid, table, positions, kernel, init):
         in_grid = jnp.all((nbr >= 0) & (nbr < dims), axis=1)
         ncid = (nbr[:, 0] * ny + nbr[:, 1]) * nz + nbr[:, 2]
         ncid = jnp.clip(ncid, 0, grid.num_cells - 1)
-        j_ids = table[ncid]  # (N, capacity)
-        valid = (j_ids >= 0) & in_grid[:, None] & (j_ids != i_ids[:, None])
+        j_ids = table[ncid]  # (Q, capacity)
+        valid = (j_ids >= 0) & in_grid[:, None] & (j_ids != q_ids[:, None])
         j_pos = positions[jnp.maximum(j_ids, 0)]
-        dx = positions[:, None, :] - j_pos
+        dx = q_pos[:, None, :] - j_pos
         r2 = jnp.sum(dx * dx, axis=-1)
         # Force r2 of invalid lanes far outside any cutoff.
         r2 = jnp.where(valid, r2, jnp.asarray(1e30, positions.dtype))
@@ -140,28 +148,36 @@ def neighbor_fold(grid: CellGrid, table, positions, kernel, init):
     return jax.lax.fori_loop(0, 27, body, init)
 
 
-def pairwise_forces_cell(grid, table, positions, coeff_fn, energy_fn=None):
+def pairwise_forces_cell(grid, table, positions, coeff_fn, energy_fn=None,
+                         query=None):
     """Neighbor-pairwise force (and optional energy) over the cell list.
 
-    ``coeff_fn(r2, i_ids, j_ids) -> (N, cap)`` force coefficient (F = c * dx);
+    ``coeff_fn(r2, i_ids, j_ids) -> (Q, cap)`` force coefficient (F = c * dx);
     ``energy_fn`` same signature for u(r2).  Mirrors
     ``md::make_neighbor_pairwise_forcefield`` with a per-pair functor.
+    With ``query=(q_pos, q_ids)`` only the given row block is computed
+    (returns (Q, 3) forces and that block's half-energy share).
     """
-    n = positions.shape[0]
-    zero_f = jnp.zeros_like(positions)
+    if query is None:
+        q_pos = positions
+        q_ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
+    else:
+        q_pos, q_ids = query
+    zero_f = jnp.zeros_like(q_pos)
     zero_e = jnp.asarray(0.0, positions.dtype)
-    i_ids = jnp.arange(n, dtype=jnp.int32)
 
     def kernel(carry, j_ids, dx, r2, valid):
         forces, energy = carry
-        c = jnp.where(valid, coeff_fn(r2, i_ids[:, None], j_ids), 0.0)
+        c = jnp.where(valid, coeff_fn(r2, q_ids[:, None], j_ids), 0.0)
         forces = forces + jnp.sum(c[:, :, None] * dx, axis=1)
         if energy_fn is not None:
-            u = jnp.where(valid, energy_fn(r2, i_ids[:, None], j_ids), 0.0)
+            u = jnp.where(valid, energy_fn(r2, q_ids[:, None], j_ids), 0.0)
             energy = energy + 0.5 * jnp.sum(u)
         return forces, energy
 
-    return neighbor_fold(grid, table, positions, kernel, (zero_f, zero_e))
+    return neighbor_fold(
+        grid, table, positions, kernel, (zero_f, zero_e), query=(q_pos, q_ids)
+    )
 
 
 def pairwise_forces_dense(positions, coeff_fn, energy_fn=None, targets=None):

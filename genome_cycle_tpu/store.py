@@ -59,11 +59,14 @@ def quantize_positions(values: np.ndarray, bits: int = POSITION_FRACTION_BITS) -
 
     Binary analogue of HDF5's scaleoffset filter: value -> round(mant * 2^bits)
     * 2^(exp - bits), where value = mant * 2^exp with mant in [0.5, 1).
+    Uses the native host-ops library when available.
     """
-    values = np.asarray(values, dtype=np.float64)
-    mant, exp = np.frexp(values)
-    scaled = np.rint(np.ldexp(mant, bits))
-    return np.ldexp(scaled, exp - bits)
+    from . import native
+
+    shape = np.shape(values)
+    return native.quantize_f64(np.asarray(values, np.float64).ravel(), bits).reshape(
+        shape
+    )
 
 
 @dataclasses.dataclass

@@ -123,3 +123,59 @@ def test_contact_margin_tracks_moved_beads(rng):
     i, j, c = contact_list_to_host(contact)
     coo = merge_window([(i, j, c)])
     np.testing.assert_array_equal(coo, [[0, 1, 1]])
+
+
+def test_dense_slab_vs_brute_force(rng):
+    """Dense cell-slab pair engine against O(N^2) brute force."""
+    from genome_cycle_tpu.ops.dense_grid import (
+        DenseGrid,
+        build_slabs,
+        pair_forces_slab,
+        scatter_from_slab,
+    )
+
+    n = 400
+    positions = jnp.asarray(rng.uniform(-1.0, 1.0, size=(n, 3)), jnp.float32)
+    af = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    bf = 1.0 - af
+    grid = DenseGrid.cubic(bound=1.5, cell_size=0.3, capacity=32)
+    slabs = build_slabs(grid, positions, extras=(af, bf))
+    assert int(slabs.overflow) == 0
+    assert 0 < int(slabs.max_fill) <= grid.capacity
+
+    params = dict(a_energy=2.5, a_diameter=0.3, b_energy=2.5, b_diameter=0.24)
+
+    def coeff_slab(r2, ai, bi, aj, bj):
+        return pot.ab_pair_force_coeff(r2, 0.5 * (ai + aj), 0.5 * (bi + bj), params)
+
+    def energy_slab(r2, ai, bi, aj, bj):
+        return pot.ab_pair_energy(r2, 0.5 * (ai + aj), 0.5 * (bi + bj), params)
+
+    force_slab, e_slab = pair_forces_slab(grid, slabs, coeff_slab, energy_slab)
+    f_slab = scatter_from_slab(force_slab, slabs.ids, n)
+
+    def coeff_dense(r2, i, j):
+        a_mix = 0.5 * (af[i] + af[j])
+        b_mix = 0.5 * (bf[i] + bf[j])
+        return pot.ab_pair_force_coeff(r2, a_mix, b_mix, params)
+
+    def u_dense(r2, i, j):
+        a_mix = 0.5 * (af[i] + af[j])
+        b_mix = 0.5 * (bf[i] + bf[j])
+        return pot.ab_pair_energy(r2, a_mix, b_mix, params)
+
+    f_dense, e_dense = pairwise_forces_dense(positions, coeff_dense, u_dense)
+    np.testing.assert_allclose(
+        np.asarray(f_slab), np.asarray(f_dense), atol=2e-3, rtol=1e-3
+    )
+    assert float(e_slab) == pytest.approx(float(e_dense), rel=1e-3)
+
+
+def test_dense_slab_overflow_detected(rng):
+    from genome_cycle_tpu.ops.dense_grid import DenseGrid, build_slabs
+
+    positions = jnp.asarray(rng.normal(0, 0.01, size=(100, 3)), jnp.float32)
+    grid = DenseGrid.cubic(bound=1.0, cell_size=0.3, capacity=16)
+    slabs = build_slabs(grid, positions)
+    assert int(slabs.overflow) == 100 - 16
+    assert int(slabs.max_fill) == 100

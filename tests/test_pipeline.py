@@ -76,8 +76,12 @@ def cycle_file(tmp_path_factory):
         transition_interphase(store, log=logs.append)
         run_interphase(
             store,
+            # The gather-fold pair engine: the dense-slab path is tuned for
+            # TPU and is wasteful on the CPU test mesh (it is covered by the
+            # slab-vs-brute-force equivalence test instead).
             settings=EngineSettings(
-                cell_capacity=128, contact_capacity=128, grid_bound=9.0
+                cell_capacity=128, contact_capacity=128, grid_bound=9.0,
+                use_dense_grid=False,
             ),
             log=logs.append,
         )
@@ -186,3 +190,60 @@ def test_contexts_are_reference_shaped(cycle_file):
             "mean_energy",
             "wall_energy",
         ]
+
+
+def test_analysis_chain_on_trajectory(cycle_file, tmp_path):
+    """Trajectory -> cool -> dephase -> pc1 -> gsd, through the CLIs."""
+    path = cycle_file[0]
+    from genome_cycle_tpu.analysis import cool as cool_mod
+    from genome_cycle_tpu.analysis import dephase as dephase_mod
+    from genome_cycle_tpu.analysis import pc1 as pc1_mod
+    from genome_cycle_tpu.analysis import dumpgsd as dumpgsd_mod
+    from genome_cycle_tpu.analysis.coolio import Cooler
+    from genome_cycle_tpu.analysis.gsdio import GSDReader
+
+    sim_cool = str(tmp_path / "sim.cool")
+    cool_mod.main(output=sim_cool, input_sims=[path])
+    clr = Cooler(sim_cool)
+    # Diploid chains + virtual nucleoli chain.
+    assert set(clr.chromnames) == {"chr1:a", "chr2:a", "nucleoli"}
+    assert clr.nbins == 504  # 500 chain beads + 2 aNORs * 2 nucleolar
+    mat = clr.matrix(balance=False)[:, :]
+    assert mat.sum() > 0
+    # Chain-neighbor contacts must dominate: mean near-diagonal count higher
+    # than mean long-range count.
+    near = np.mean([mat[i, i + 1] for i in range(0, 290)])
+    far = np.mean(mat[0:50, 200:250])
+    assert near > far
+
+    hap_cool = str(tmp_path / "hap.cool")
+    dephase_mod.main(output=hap_cool, input=sim_cool)
+    hap = Cooler(hap_cool)
+    assert set(hap.chromnames) == {"chr1", "chr2"}
+    assert hap.nbins == 500
+
+    pc1_tsv = str(tmp_path / "pc1.tsv")
+    aux_json = str(tmp_path / "aux.json")
+    pc1_mod.main(cool=hap_cool, output=pc1_tsv, aux_output=aux_json)
+    import pandas as pd
+
+    table = pd.read_csv(pc1_tsv, sep="\t")
+    assert list(table.columns) == ["chrom", "start", "end", "ev1", "pc1"]
+    assert len(table) == 500
+    aux = json.loads(open(aux_json).read())
+    assert 0 <= aux["explained_variance_ratio"] <= 1
+
+    gsd_path = str(tmp_path / "traj.gsd")
+    dumpgsd_mod.main(input_filename=path, output_filename=gsd_path, stage="interphase")
+    with GSDReader(gsd_path) as r:
+        assert r.nframes == 5
+        pos = r.chunk(0, "particles/position")
+        assert pos.shape == (504, 3)
+        # nucleolar pseudo-bonds added after 498 chain backbone bonds.
+        assert r.chunk(0, "bonds/N")[0] == 498 + 4
+
+    gsd_path2 = str(tmp_path / "ana.gsd")
+    dumpgsd_mod.main(input_filename=path, output_filename=gsd_path2, stage="anaphase")
+    with GSDReader(gsd_path2) as r:
+        # Spindle-pole pseudo-particle appended.
+        assert r.chunk(0, "particles/N")[0] == 5 + 1
