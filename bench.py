@@ -28,7 +28,10 @@ REPO = pathlib.Path(__file__).resolve().parent
 N_BEADS = 100_000
 CHAINS = 46
 BENCH_STEPS = 200
-BASELINE_CACHE = REPO / "bench_baseline.json"
+# Equilibrium-G1-like density: 100k beads in a radius-2.5 ball (~1500/unit^3,
+# ~40 beads per 0.3 cell).  The C++ baseline uses the same configuration.
+BALL_RADIUS = 2.5
+BASELINE_CACHE = REPO / "bench_baseline_r25.json"
 
 
 def _measure_variant(use_pallas, use_dense):
@@ -49,7 +52,7 @@ def _measure_variant(use_pallas, use_dense):
     )
     model = ge._make_model(n_beads=N_BEADS, chains=CHAINS, settings=settings)
 
-    x = jnp.asarray(ge._ball(model.n, radius=1.8))
+    x = jnp.asarray(ge._ball(model.n, radius=BALL_RADIUS))
     key = jax.random.PRNGKey(0)
     semiaxes = jnp.asarray([2.0, 2.0, 2.0], jnp.float32)
     contact = model.fresh_contact_list(x, float(model.scales(0.0)[0]))
@@ -64,9 +67,13 @@ def _measure_variant(use_pallas, use_dense):
         )[0]
     )
 
-    # Warmup (compile + first run).
+    # Warmup (compile + first run) + validity: a variant that overflows its
+    # cell capacity measured dropped pairs, not the force field.
     carry = chunk(carry, jnp.asarray(0))
     jax.block_until_ready(carry[0])
+    overflow = int(carry[4][0])
+    if overflow > 0:
+        raise RuntimeError(f"cell capacity overflow ({overflow}); invalid run")
 
     t0 = time.perf_counter()
     reps = 3
@@ -130,7 +137,7 @@ def measure_baseline():
             check=True, capture_output=True,
         )
         out = subprocess.run(
-            [str(exe), str(N_BEADS), "20"],
+            [str(exe), str(N_BEADS), "20", str(BALL_RADIUS)],
             check=True, capture_output=True, text=True, timeout=1200,
         )
         value = float(json.loads(out.stdout.strip())["bead_steps_per_s"])

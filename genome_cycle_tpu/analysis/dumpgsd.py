@@ -153,6 +153,11 @@ def dump_trajectory(stage_store, writer: GSDWriter, mod: TopologyMod):
 
 def main(*, input_filename: str, output_filename: str, stage: str = "interphase"):
     with h5py.File(input_filename, "r") as store:
+        if stage not in store["stages"]:
+            raise ValueError(
+                f"unknown stage {stage!r}; trajectory has: "
+                + ", ".join(sorted(store["stages"]))
+            )
         stage_store = store["stages"][stage]
         stage_metadata = stage_store["metadata"]
         config = json.loads(store["metadata"]["config"][()])

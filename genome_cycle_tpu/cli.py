@@ -76,7 +76,14 @@ def main(argv=None):
     p.add_argument("chains")
 
     _add_store_cmd(sub, "anatelophase", "run anaphase + telophase")
-    _add_store_cmd(sub, "interphase", "run relaxation + G1 interphase")
+    p = _add_store_cmd(sub, "interphase", "run relaxation + G1 interphase")
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture a jax.profiler trace of the run into DIR "
+        "(view with TensorBoard / xprof)",
+    )
     _add_store_cmd(sub, "prometaphase", "run prometaphase/metaphase")
 
     p = sub.add_parser("transition", help="convert structures between stages")
@@ -120,9 +127,16 @@ def main(argv=None):
             run_anatelophase(store, log=log)
 
     elif args.command == "interphase":
+        import contextlib
+
         from .models.interphase import run_interphase
 
-        with SimulationStore(args.trajectory) as store:
+        profile_ctx = contextlib.nullcontext()
+        if getattr(args, "profile", None):
+            import jax
+
+            profile_ctx = jax.profiler.trace(args.profile)
+        with profile_ctx, SimulationStore(args.trajectory) as store:
             run_interphase(store, log=log)
 
     elif args.command == "prometaphase":

@@ -74,13 +74,17 @@ class EngineSettings:
         # The densest regime is the fresh spline-resampled post-telophase
         # structure, where ~coarse_graining fine beads share each coarse
         # bead's neighborhood — start generous; the adaptive engine shrinks
-        # capacity once the nucleus decondenses.
+        # capacity once the nucleus decondenses.  The dense-slab engine only
+        # pays off on TPU (its (M,M) blocks are wasteful on CPU).
+        import jax
+
         wall = config.wall_semiaxes_init
         return cls(
-            cell_capacity=256,
+            cell_capacity=128,
             contact_capacity=128,
             contact_margin=0.25,
             grid_bound=float(4 * max(wall) + 1.0),
+            use_dense_grid=jax.default_backend() == "tpu",
         )
 
 
@@ -327,8 +331,13 @@ class InterphaseModel:
 
         Uses the gather-free dense-slab engine when enabled (the TPU hot
         path); returns (forces (N,3), energy, overflow, max_fill).
+
+        Energy requests always take the gather path: energy is only needed at
+        sampling boundaries (1/1000 steps), and the dense engines would
+        materialize (cells, M, M) blocks for it — prohibitive at high
+        capacity.
         """
-        if self.dense_grid is None:
+        if self.dense_grid is None or with_energy:
             table, ov, fill = build_cell_table(self.grid, positions)
             forces, energy = self.pair_forces_rows(
                 positions, table, core_scale, with_energy=with_energy
@@ -673,10 +682,24 @@ def run_interphase(
 
     # ---- interphase (G1) phase ---------------------------------------------
     store.set_stage("interphase")
-    store.clear_frames()
 
     sampling = c.sampling_interval
     window_steps = sampling * c.contactmap_output_window
+
+    # Intra-stage resume: a long G1 run snapshots its scan carry at contact
+    # window boundaries; re-running the stage continues from the snapshot
+    # (the reference can only restart whole stages, SURVEY.md §5.3-5.4).
+    checkpoint = store.load_checkpoint()
+    resume_step = 0
+    if checkpoint is not None and 0 < checkpoint["step"] < c.steps:
+        resume_step = int(checkpoint["step"])
+        log(f"resuming interphase from checkpoint at step {resume_step}")
+        # Frames written after the snapshot (before the crash) would be
+        # re-appended by the resumed chunks.
+        store.truncate_frames(resume_step)
+    else:
+        checkpoint = None
+        store.clear_frames()
 
     def save_frame(bundle, step, x, semiaxes, contacts_coo=None):
         t = step * c.timestep
@@ -696,26 +719,36 @@ def run_interphase(
         store.append_frame(step)
         return ctx
 
-    # callback(0): sample, one contact update, dump-and-clear the window
-    # (step 0 satisfies both cadences), then the wall gets its first
-    # (reaction-free) update.
     bundle = engine.bundle()
     model = bundle["model"]
-    semiaxes = semiaxes0
-    core0, _ = model.scales(jnp.asarray(0.0))
-    contact = model.fresh_contact_list(x, float(core0))
-    contact = update_contact_counts(contact, x, c.contactmap_distance * float(core0))
-    coo0 = merge_window([contact_list_to_host(contact)])
-    ctx = save_frame(bundle, 0, x, semiaxes, coo0)
-    log(progress_line("interphase", 0, t=0.0, energy=ctx.mean_energy))
-    spring = jnp.asarray(c.wall_semiaxes_spring, dtype)
-    semiaxes = semiaxes + c.timestep * c.wall_mobility * (0.0 - spring * semiaxes)
+    if checkpoint is not None:
+        x = jnp.asarray(checkpoint["positions"], dtype)
+        semiaxes = jnp.asarray(checkpoint["semiaxes"], dtype)
+        inter_key = jnp.asarray(checkpoint["key"], jnp.uint32)
+        engine.update_bound(float(np.abs(np.asarray(x)).max()))
+    else:
+        # callback(0): sample, one contact update, dump-and-clear the window
+        # (step 0 satisfies both cadences), then the wall gets its first
+        # (reaction-free) update.
+        semiaxes = semiaxes0
+        core0, _ = model.scales(jnp.asarray(0.0))
+        contact = model.fresh_contact_list(x, float(core0))
+        contact = update_contact_counts(
+            contact, x, c.contactmap_distance * float(core0)
+        )
+        coo0 = merge_window([contact_list_to_host(contact)])
+        ctx = save_frame(bundle, 0, x, semiaxes, coo0)
+        log(progress_line("interphase", 0, t=0.0, energy=ctx.mean_energy))
+        spring = jnp.asarray(c.wall_semiaxes_spring, dtype)
+        semiaxes = semiaxes + c.timestep * c.wall_mobility * (0.0 - spring * semiaxes)
 
     window_chunks = []
     state = (x, inter_key, semiaxes)
+    wall_t0 = _time.perf_counter()
+    steps_done = 0
 
     n_chunks = c.steps // sampling
-    for chunk in range(n_chunks):
+    for chunk in range(resume_step // sampling, n_chunks):
         start = chunk * sampling
         while True:
             bundle = engine.bundle()
@@ -748,13 +781,29 @@ def run_interphase(
             window_chunks = []
 
         ctx = save_frame(bundle, step, x, semiaxes, contacts_coo)
+        steps_done += sampling
         if step % c.logging_interval == 0:
+            rate = steps_done / max(_time.perf_counter() - wall_t0, 1e-9)
             log(
                 progress_line(
                     "interphase", step, t=step * c.timestep,
                     energy=ctx.mean_energy,
                     radius=float(np.cbrt(np.prod(np.asarray(semiaxes)))),
                 )
+                + f"\t{rate:.1f} steps/s ({rate * n:.3g} bead-steps/s)"
             )
 
+        # Snapshot the carry at window boundaries (contact windows are
+        # flushed there, so a resume never double-counts contacts).
+        if contacts_coo is not None:
+            store.save_checkpoint(
+                step,
+                {
+                    "positions": np.asarray(x),
+                    "semiaxes": np.asarray(semiaxes),
+                    "key": np.asarray(k),
+                },
+            )
+
+    store.clear_checkpoint()
     return np.asarray(state[0])

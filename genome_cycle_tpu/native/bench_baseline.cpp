@@ -25,6 +25,7 @@ struct Vec { double x, y, z; };
 int main(int argc, char** argv) {
     const int n = argc > 1 ? std::atoi(argv[1]) : 100000;
     const int steps = argc > 2 ? std::atoi(argv[2]) : 20;
+    const double ball_radius = argc > 3 ? std::atof(argv[3]) : 2.5;
 
     // Interphase defaults (simulation_config.hpp:61-115 semantics).
     const double dt = 1e-5, temperature = 1.0;
@@ -45,11 +46,11 @@ int main(int argc, char** argv) {
     std::vector<Vec> x(n), f(n);
     std::vector<double> af(n), bf(n);
     for (int i = 0; i < n; i++) {
-        // Random ball of radius 1.8 (same initial density as bench.py).
+        // Random ball (same density as bench.py).
         double px, py, pz;
         do { px = uni(rng); py = uni(rng); pz = uni(rng); }
         while (px * px + py * py + pz * pz > 1.0);
-        x[i] = {1.8 * px, 1.8 * py, 1.8 * pz};
+        x[i] = {ball_radius * px, ball_radius * py, ball_radius * pz};
         af[i] = (i % 2 == 0) ? 1.0 : 0.0;
         bf[i] = 1.0 - af[i];
     }

@@ -57,12 +57,13 @@ def plane_geometry(dims: Tuple[int, int, int]):
     return h0, plane_stride, cp
 
 
-def _kernel(params_ref, slab_hbm, out_ref, scratch, sem, *, dims, m, chunk):
-    """chunk here is the sublane (j-side capacity) chunk width."""
+def _kernel(params_ref, slab_hbm, out_ref, scratch, rolled_buf, facc, sem,
+            *, dims, m, chunk):
+    """chunk = lane-chunk width (cells processed per inner loop step)."""
     nx, ny, nz = dims
     h0, plane_stride, _ = plane_geometry(dims)
     plane = ny * nz
-    plane_w = _round_up(plane, 128)
+    plane_w = _round_up(plane, chunk)
     p = pl.program_id(0)
 
     # DMA padded planes p, p+1, p+2 (aligned offsets).
@@ -84,20 +85,15 @@ def _kernel(params_ref, slab_hbm, out_ref, scratch, sem, *, dims, m, chunk):
     b_energy = params_ref[2]
     b_inv_d2 = params_ref[3]
 
-    own = scratch[1, :, :, h0 : h0 + plane_w]  # (6, M, PW) aligned slice
-    ox_x, ox_y, ox_z = own[0], own[1], own[2]
-    own_a, own_b = own[3], own[4]
+    facc[...] = jnp.zeros_like(facc)
 
-    fx = jnp.zeros((m, plane_w), jnp.float32)
-    fy = jnp.zeros((m, plane_w), jnp.float32)
-    fz = jnp.zeros((m, plane_w), jnp.float32)
-
-    # f32 self-pair mask (Mosaic minor-dim broadcast needs 32-bit types);
-    # row = own slot i, column handled per j-chunk below.
+    # f32 self-pair mask (Mosaic minor-dim broadcast needs 32-bit types).
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
     ).astype(jnp.float32)
+
+    n_chunks = plane_w // chunk
 
     for rx in range(3):
         region = scratch[rx][...]  # (6, M, plane_stride)
@@ -105,25 +101,28 @@ def _kernel(params_ref, slab_hbm, out_ref, scratch, sem, *, dims, m, chunk):
             for oz in (-1, 0, 1):
                 shift = oy * nz + oz
                 # Lane-aligned neighbor access: roll absorbs the unaligned
-                # in-plane shift, then slice at the aligned data offset.
-                # (pltpu.roll wants a non-negative amount; left-shift by s ==
-                # right-shift by L - s.)
+                # in-plane shift (pltpu.roll needs a non-negative amount).
                 amount = (-shift) % plane_stride
-                rolled = pltpu.roll(region, amount, 2) if shift else region
-                nbr_win = rolled[:, :, h0 : h0 + plane_w]  # (6, M, PW)
+                rolled_buf[...] = (
+                    pltpu.roll(region, amount, 2) if shift else region
+                )
                 is_center = rx == 1 and shift == 0
-                # Sublane-chunk the j side to bound live (M, JB, PW) temps.
-                for j0 in range(0, m, chunk):
-                    nbr = nbr_win[:, j0 : j0 + chunk, :]  # (6, JB, PW)
-                    dx = ox_x[:, None, :] - nbr[0][None, :, :]
-                    dy = ox_y[:, None, :] - nbr[1][None, :, :]
-                    dz = ox_z[:, None, :] - nbr[2][None, :, :]
+
+                def body(k, _, is_center=is_center):
+                    # Dynamic lane offsets are multiples of the 128-aligned
+                    # chunk — the supported dynamic-slicing form.
+                    off = h0 + k * chunk
+                    own = scratch[1, :, :, pl.ds(off, chunk)]   # (6, M, CH)
+                    nbr = rolled_buf[:, :, pl.ds(off, chunk)]   # (6, M, CH)
+                    dx = own[0][:, None, :] - nbr[0][None, :, :]
+                    dy = own[1][:, None, :] - nbr[1][None, :, :]
+                    dz = own[2][:, None, :] - nbr[2][None, :, :]
                     r2 = dx * dx + dy * dy + dz * dz
                     if is_center:
-                        r2 = r2 + eye[:, j0 : j0 + chunk, None] * FAR
+                        r2 = r2 + eye[:, :, None] * FAR
 
-                    a_mix = 0.5 * (own_a[:, None, :] + nbr[3][None, :, :])
-                    b_mix = 0.5 * (own_b[:, None, :] + nbr[4][None, :, :])
+                    a_mix = 0.5 * (own[3][:, None, :] + nbr[3][None, :, :])
+                    b_mix = 0.5 * (own[4][:, None, :] + nbr[4][None, :, :])
 
                     # softcore<2,3>: c = 6 e / d^2 * (1 - s)^2
                     s_a = r2 * a_inv_d2
@@ -144,15 +143,18 @@ def _kernel(params_ref, slab_hbm, out_ref, scratch, sem, *, dims, m, chunk):
                     )
                     c = (a_mix * c_a + b_mix * c_b) * nbr[5][None, :, :]
 
-                    fx = fx + jnp.sum(c * dx, axis=1)
-                    fy = fy + jnp.sum(c * dy, axis=1)
-                    fz = fz + jnp.sum(c * dz, axis=1)
+                    ks = pl.ds(k * chunk, chunk)
+                    facc[0, :, ks] += jnp.sum(c * dx, axis=1)
+                    facc[1, :, ks] += jnp.sum(c * dy, axis=1)
+                    facc[2, :, ks] += jnp.sum(c * dz, axis=1)
+                    return 0
 
-    valid = own[5]
+                jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    # scratch[rx] is (6, M, PS): read the validity channel's own-plane tile.
+    valid = scratch[1, 5, :, h0 : h0 + plane_w]
     out_ref[...] = jnp.zeros_like(out_ref)
-    out_ref[0, :, h0 : h0 + plane_w] = fx * valid
-    out_ref[1, :, h0 : h0 + plane_w] = fy * valid
-    out_ref[2, :, h0 : h0 + plane_w] = fz * valid
+    out_ref[:, :, h0 : h0 + plane_w] = facc[:, :, :plane_w] * valid[None]
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "m", "chunk", "interpret"))
@@ -171,6 +173,7 @@ def ab_pair_forces_pallas(
     if slab.shape != (6, m, cp):
         raise ValueError(f"bad slab shape {slab.shape}, expected (6, {m}, {cp})")
 
+    plane_w = _round_up(ny * nz, chunk)
     grid = (nx,)
     kernel = functools.partial(_kernel, dims=dims, m=m, chunk=chunk)
     return pl.pallas_call(
@@ -186,6 +189,8 @@ def ab_pair_forces_pallas(
         out_shape=jax.ShapeDtypeStruct((3, m, cp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((3, 6, m, plane_stride), jnp.float32),
+            pltpu.VMEM((6, m, plane_stride), jnp.float32),
+            pltpu.VMEM((3, m, plane_w), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,

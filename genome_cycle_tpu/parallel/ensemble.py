@@ -1,0 +1,206 @@
+"""Ensemble replica axis: many independent cell-cycle simulations at once.
+
+The reference runs ensemble replicas as separate shell jobs over separate
+trajectory files and merges their contact maps downstream
+(src/cool.py:80-110; SURVEY.md §2.11).  Here the replica axis is a real
+device-mesh axis: R independent interphase systems integrate data-parallel in
+one jitted program (vmap over the replica dimension, optionally sharded over
+a ``replica`` mesh axis), each still writing its own reference-schema
+trajectory file so the downstream analysis (cool/dephase/pc1) is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.interphase import EngineSettings, InterphaseModel
+from ..ops.contact import contact_list_to_host, merge_window, update_contact_counts
+from ..store import InterphaseContext, SimulationStore
+from ..utils.logging import progress_line
+
+
+def run_ensemble_interphase(
+    stores: Sequence[SimulationStore],
+    settings: Optional[EngineSettings] = None,
+    log=print,
+):
+    """Run the interphase stage for R replicas in lock-step.
+
+    All stores must come from the same ``prepare`` inputs (identical
+    topology); each keeps its own stage seed, so trajectories are
+    independent samples.  Relaxation initial structures must already be in
+    place (``transition interphase`` per store).
+    """
+    r = len(stores)
+    if r == 0:
+        return
+
+    config = stores[0].load_config()
+    designs = [s.load_interphase_design() for s in stores]
+    n = designs[0].particle_count
+    for d in designs[1:]:
+        if d.particle_count != n:
+            raise ValueError("ensemble stores disagree on topology")
+
+    model = InterphaseModel.from_design(designs[0], config, settings)
+    c = model.config
+
+    keys = jnp.stack(
+        [
+            jax.random.split(jax.random.PRNGKey(d.seed), 3)[2]
+            for d in designs
+        ]
+    )
+    relax_keys = jnp.stack(
+        [
+            jax.random.split(jax.random.PRNGKey(d.seed), 3)[1]
+            for d in designs
+        ]
+    )
+
+    positions = jnp.stack(
+        [jnp.asarray(s_store_positions(s), jnp.float32) for s in stores]
+    )
+    semiaxes = jnp.tile(
+        jnp.asarray(c.wall_semiaxes_init, jnp.float32), (r, 1)
+    )
+
+    # ---- relaxation (vmapped) ---------------------------------------------
+    def relax_chunk(carry):
+        def one(x, key, semi):
+            def body(cr, s):
+                return model.relaxation_step(cr, s), None
+
+            stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+            (x, key, semi, stats), _ = jax.lax.scan(
+                body, (x, key, semi, stats),
+                jnp.arange(c.relaxation_sampling_interval),
+            )
+            return x, key, semi, stats
+
+        return jax.vmap(one)(*carry)
+
+    relax_chunk = jax.jit(relax_chunk)
+
+    for store in stores:
+        store.set_stage("relaxation")
+        store.clear_frames()
+
+    def sample_relax(step, positions):
+        for k, store in enumerate(stores):
+            store.save_positions(step, np.asarray(positions[k]))
+            store.save_interphase_context(
+                step,
+                InterphaseContext(
+                    time=0.0,
+                    wall_semiaxes=tuple(float(v) for v in np.asarray(semiaxes[k])),
+                    core_scale=c.core_scale_init,
+                    bond_scale=c.bond_scale_init,
+                ),
+            )
+            store.append_frame(step)
+
+    sample_relax(0, positions)
+    carry = (positions, relax_keys, semiaxes)
+    for chunk in range(c.relaxation_steps // c.relaxation_sampling_interval):
+        x, k, s, stats = relax_chunk(carry)
+        carry = (x, k, s)
+        step = (chunk + 1) * c.relaxation_sampling_interval
+        sample_relax(step, x)
+        log(progress_line("relaxation", step, t=0.0))
+    positions = carry[0]
+
+    # ---- interphase (vmapped) ---------------------------------------------
+    for store in stores:
+        store.set_stage("interphase")
+        store.clear_frames()
+
+    sampling = c.sampling_interval
+    window_steps = sampling * c.contactmap_output_window
+
+    def inter_chunk(carry, start):
+        def one(x, key, semi, cids, ccounts):
+            from ..ops.contact import ContactList
+
+            contact = ContactList(
+                ids=cids, counts=ccounts,
+                fill=jnp.zeros((cids.shape[0],), jnp.int32),
+                overflow=jnp.zeros((), jnp.int32),
+            )
+            stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+            def body(cr, s):
+                return model.interphase_step(cr, s), None
+
+            (x, key, semi, contact, stats), _ = jax.lax.scan(
+                body, (x, key, semi, contact, stats),
+                start + 1 + jnp.arange(sampling),
+            )
+            return x, key, semi, contact.ids, contact.counts, stats
+
+        return jax.vmap(one)(*carry)
+
+    inter_chunk = jax.jit(inter_chunk)
+
+    def fresh_contacts(positions, step):
+        core_now, _ = model.scales(jnp.asarray(step * c.timestep))
+        contacts = [
+            model.fresh_contact_list(positions[k], float(core_now))
+            for k in range(r)
+        ]
+        ids = jnp.stack([ct.ids for ct in contacts])
+        counts = jnp.stack([ct.counts for ct in contacts])
+        return ids, counts
+
+    window_chunks: list[list] = [[] for _ in range(r)]
+    ids, counts = fresh_contacts(positions, 0)
+    carry = (positions, keys, semiaxes, ids, counts)
+
+    for chunk in range(c.steps // sampling):
+        start = chunk * sampling
+        x, k, semis, ids, counts, stats = inter_chunk(carry, jnp.asarray(start))
+        step = start + sampling
+
+        from ..ops.contact import ContactList
+
+        for i in range(r):
+            contact = ContactList(
+                ids=ids[i], counts=counts[i],
+                fill=jnp.zeros((n,), jnp.int32),
+                overflow=jnp.zeros((), jnp.int32),
+            )
+            window_chunks[i].append(contact_list_to_host(contact))
+
+        dump = step % window_steps == 0
+        core, bond = model.scales(jnp.asarray(step * c.timestep))
+        for i, store in enumerate(stores):
+            ctx = InterphaseContext(
+                time=step * c.timestep,
+                wall_semiaxes=tuple(float(v) for v in np.asarray(semis[i])),
+                core_scale=float(core),
+                bond_scale=float(bond),
+            )
+            store.save_positions(step, np.asarray(x[i]))
+            store.save_interphase_context(step, ctx)
+            if dump:
+                coo = merge_window(window_chunks[i])
+                store.save_contacts(step, coo)
+                window_chunks[i] = []
+            store.append_frame(step)
+
+        if step % c.logging_interval == 0:
+            log(progress_line("interphase", step, t=step * c.timestep))
+
+        ids, counts = fresh_contacts(x, step)
+        carry = (x, k, semis, ids, counts)
+
+    return np.asarray(carry[0])
+
+
+def s_store_positions(store: SimulationStore) -> np.ndarray:
+    store.set_stage("relaxation")
+    return store.load_positions(0)

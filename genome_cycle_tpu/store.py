@@ -270,6 +270,9 @@ class SimulationStore:
             np.asarray([str(s) for s in steps], dtype=object),
             dtype=_STR,
         )
+        # Frame boundaries are durability points: without a flush a hard kill
+        # loses every buffered write since open (HDF5 caches aggressively).
+        self._file.flush()
 
     def append_frames(self, steps_to_add):
         """Batch variant of append_frame (one dataset rewrite for many frames)."""
@@ -280,6 +283,16 @@ class SimulationStore:
             np.asarray([str(s) for s in steps], dtype=object),
             dtype=_STR,
         )
+
+    def truncate_frames(self, max_step: int):
+        """Drop frame-index entries beyond max_step (checkpoint resume)."""
+        steps = [s for s in self.load_steps() if s <= max_step]
+        self._write(
+            self._data_path(".steps"),
+            np.asarray([str(s) for s in steps], dtype=object),
+            dtype=_STR,
+        )
+        self._file.flush()
 
     def check_positions(self, step: int) -> bool:
         return self._data_path(step, "positions") in self._file
@@ -305,6 +318,33 @@ class SimulationStore:
         if isinstance(text, bytes):
             text = text.decode()
         return InterphaseContext.from_json(text)
+
+    # -- intra-stage checkpointing (new capability over the reference, whose
+    # -- only checkpoint granularity is whole stages; SURVEY.md §5.3-5.4) ----
+
+    def save_checkpoint(self, step: int, arrays: dict):
+        """Persist a scan-carry snapshot under <stage>/.checkpoint."""
+        base = self._data_path(".checkpoint")
+        self._write(base + "/step", np.int64(step))
+        for name, value in arrays.items():
+            self._write(base + "/" + name, np.asarray(value))
+        self._file.flush()
+
+    def load_checkpoint(self) -> Optional[dict]:
+        base = self._data_path(".checkpoint")
+        if base + "/step" not in self._file:
+            return None
+        group = self._file[base]
+        out = {"step": int(group["step"][()])}
+        for name in group:
+            if name != "step":
+                out[name] = group[name][:]
+        return out
+
+    def clear_checkpoint(self):
+        base = self._data_path(".checkpoint")
+        if base in self._file:
+            del self._file[base]
 
     def save_contacts(self, step: int, contacts: np.ndarray):
         """Sorted COO (i, j, count) rows; no-op when empty

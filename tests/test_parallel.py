@@ -170,3 +170,69 @@ def test_sharded_chunk_scan(rng):
     chunk = make_sharded_chunk(model, mesh, chunk_steps=10)
     carry = chunk(carry, jnp.asarray(0))
     assert np.isfinite(np.asarray(carry.positions)).all()
+
+
+def test_ensemble_interphase(tmp_path, rng):
+    """Two replicas integrate vmapped in lock-step, each writing its own
+    reference-schema trajectory (the ensemble axis of SURVEY.md §2.11)."""
+    import json as _json
+
+    from genome_cycle_tpu.models.prepare import run_prepare
+    from genome_cycle_tpu.models.transitions import transition_interphase
+    from genome_cycle_tpu.models.anatelophase import run_anatelophase
+    from genome_cycle_tpu.parallel.ensemble import run_ensemble_interphase
+    from genome_cycle_tpu.store import SimulationStore
+
+    config = {
+        "mitotic_phase": {
+            "anaphase_steps": 200, "telophase_steps": 100,
+            "sampling_interval": 100, "logging_interval": 200,
+        },
+        "interphase": {
+            "steps": 200, "sampling_interval": 100, "logging_interval": 200,
+            "relaxation_steps": 100, "relaxation_sampling_interval": 100,
+            "contactmap_output_window": 2,
+        },
+    }
+    config_path = tmp_path / "config.json"
+    config_path.write_text(_json.dumps(config))
+    rows = ["chain\tstart\tend\tA\tB\ttags"]
+    for i in range(300):
+        tag = "cen,B" if 140 <= i < 160 else ("A" if i % 2 else "B")
+        a, b = (1, 0) if tag == "A" else (0, 1)
+        rows.append(f"chr1:a\t{i*100000}\t{(i+1)*100000}\t{a}\t{b}\t{tag}")
+    chains_path = tmp_path / "chains.tsv"
+    chains_path.write_text("\n".join(rows) + "\n")
+
+    paths = []
+    for k in range(2):
+        path = str(tmp_path / f"cell_{k}.h5")
+        run_prepare(path, str(config_path), str(chains_path), seed=100 + k,
+                    log=lambda *_: None)
+        with SimulationStore(path) as store:
+            run_anatelophase(store, log=lambda *_: None)
+            transition_interphase(store, log=lambda *_: None)
+        paths.append(path)
+
+    stores = [SimulationStore(p) for p in paths]
+    try:
+        settings = EngineSettings(
+            cell_capacity=128, contact_capacity=128, grid_bound=9.0,
+            use_dense_grid=False,
+        )
+        run_ensemble_interphase(stores, settings=settings, log=lambda *_: None)
+    finally:
+        for s in stores:
+            s.close()
+
+    final = []
+    for p in paths:
+        with SimulationStore(p) as s:
+            s.set_stage("interphase")
+            assert s.load_steps() == [100, 200]
+            x = s.load_positions(200)
+            assert np.isfinite(x).all()
+            final.append(x)
+            assert s.load_contacts(200) is not None
+    # Different seeds -> different trajectories.
+    assert np.abs(final[0] - final[1]).max() > 1e-3

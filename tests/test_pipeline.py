@@ -247,3 +247,44 @@ def test_analysis_chain_on_trajectory(cycle_file, tmp_path):
     with GSDReader(gsd_path2) as r:
         # Spindle-pole pseudo-particle appended.
         assert r.chunk(0, "particles/N")[0] == 5 + 1
+
+
+def test_interphase_checkpoint_resume(cycle_file, tmp_path):
+    """Kill-and-resume: re-running the interphase stage from a mid-stage
+    checkpoint continues instead of restarting (new capability, SURVEY §5.4)."""
+    path, _, config_path, chains_path, _ = cycle_file
+    import shutil
+
+    copy = str(tmp_path / "resume.h5")
+    shutil.copy(path, copy)
+    settings = EngineSettings(
+        cell_capacity=128, contact_capacity=128, grid_bound=9.0,
+        use_dense_grid=False,
+    )
+    with SimulationStore(copy) as store:
+        # Simulate a crash after the window at step 200: plant a checkpoint.
+        store.set_stage("interphase")
+        x200 = store.load_positions(200)
+        ctx200 = store.load_interphase_context(200)
+        store.save_checkpoint(
+            200,
+            {
+                "positions": x200,
+                "semiaxes": np.asarray(ctx200.wall_semiaxes),
+                "key": np.asarray([1234, 5678], np.uint32),
+            },
+        )
+        # Truncate the frame list to the checkpoint.
+        store._write(
+            store._data_path(".steps"),
+            np.asarray(["0", "100", "200"], dtype=object),
+            dtype=__import__("h5py").string_dtype(),
+        )
+        logs = []
+        run_interphase(store, settings=settings, log=logs.append)
+        assert any("resuming interphase from checkpoint at step 200" in l for l in logs)
+        store.set_stage("interphase")
+        assert store.load_steps() == [0, 100, 200, 300, 400]
+        assert np.isfinite(store.load_positions(400)).all()
+        # Checkpoint cleared after completion.
+        assert store.load_checkpoint() is None
