@@ -68,6 +68,16 @@ class EngineSettings:
     dense_bound: float = 4.0
     # Fused Pallas kernel for the pair force (None = auto: on for TPU).
     use_pallas: Optional[bool] = None
+    # Below this particle count the O(N^2) dense pairwise path is used for
+    # the pair force: on TPU, ~25M fully dense pair lanes beat any cell-list
+    # scheme (no gathers, no per-cell capacity pathology on skewed density).
+    brute_force_threshold: int = 16384
+    # Dense-grid cell size as a fraction of the max core diameter.  Early G1
+    # runs at core_scale ~0.5, halving every cutoff; matching the cell size
+    # to the current cutoff bucket cuts dense pair lanes ~8x in the densest
+    # regime.  Must stay >= the largest core_scale reached while active
+    # (the adaptive engine enforces this).
+    dense_cell_scale: float = 1.0
 
     @classmethod
     def auto(cls, n_particles: int, config: InterphaseConfig) -> "EngineSettings":
@@ -174,7 +184,7 @@ class InterphaseModel:
         if settings.use_dense_grid:
             dense_grid = DenseGrid.cubic(
                 bound=settings.dense_bound,
-                cell_size=cell_size,
+                cell_size=cell_size * settings.dense_cell_scale,
                 capacity=settings.cell_capacity,
             )
 
@@ -337,6 +347,14 @@ class InterphaseModel:
         materialize (cells, M, M) blocks for it — prohibitive at high
         capacity.
         """
+        if self.n <= self.settings.brute_force_threshold:
+            coeff, energy_fn = self._pair_kernels(core_scale, with_energy)
+            forces, energy = pairwise_forces_dense(
+                positions, coeff, energy_fn
+            )
+            zero = jnp.zeros((), jnp.int32)
+            return forces, energy, zero, zero
+
         if self.dense_grid is None or with_energy:
             table, ov, fill = build_cell_table(self.grid, positions)
             forces, energy = self.pair_forces_rows(
@@ -544,11 +562,28 @@ class _AdaptiveEngine:
         self.cell_capacity = base.cell_capacity
         self.contact_capacity = base.contact_capacity
         self.dense_bound = base.dense_bound
+        self.dense_cell_scale = base.dense_cell_scale
+        # Brute-force systems ignore the cell grids entirely: freeze every
+        # grid adaptation (each change would recompile for nothing).
+        self.brute = design.particle_count <= base.brute_force_threshold
         self._cache: dict[tuple, dict] = {}
+
+    def update_cell_scale(self, core_scale: float):
+        """Smallest dense cell-size bucket covering the current cutoff."""
+        if self.brute:
+            return
+        for bucket in (0.5, 0.75, 1.0):
+            if core_scale <= bucket + 1e-6:
+                break
+        if bucket != self.dense_cell_scale:
+            self.log(f"engine: dense cell-size bucket -> {bucket}")
+            self.dense_cell_scale = bucket
 
     def update_bound(self, max_abs_coord: float):
         """Track the occupied extent; the dense grid stays tight around it
         (empty cells cost dense-slab compute)."""
+        if self.brute:
+            return
         needed = float(np.ceil(max_abs_coord + 0.5))
         if needed != self.dense_bound and abs(needed - self.dense_bound) >= 1.0:
             self.log(f"engine: dense grid bound -> {needed}")
@@ -557,14 +592,24 @@ class _AdaptiveEngine:
             self.log(f"engine: dense grid bound -> {needed}")
             self.dense_bound = needed
 
-    def bundle(self) -> dict:
-        key = (self.cell_capacity, self.contact_capacity, self.dense_bound)
+    def bundle(self, relax: bool = False) -> dict:
+        # The fresh spline-resampled relaxation structure has extreme local
+        # density skew (~coarse_graining beads per spline segment), which
+        # defeats the dense engine's uniform per-cell capacity; the gather
+        # engine's cost scales with N, not with the worst cell, so the
+        # relaxation phase always uses it.
+        key = (
+            self.cell_capacity, self.contact_capacity, self.dense_bound,
+            self.dense_cell_scale, relax,
+        )
         if key not in self._cache:
             settings = dataclasses.replace(
                 self.settings,
                 cell_capacity=self.cell_capacity,
                 contact_capacity=self.contact_capacity,
                 dense_bound=self.dense_bound,
+                dense_cell_scale=self.dense_cell_scale,
+                use_dense_grid=self.settings.use_dense_grid and not relax,
             )
             model = InterphaseModel.from_design(self.design, self.config, settings)
             c = model.config
@@ -596,6 +641,8 @@ class _AdaptiveEngine:
         self.log(f"engine: growing cell capacity to {self.cell_capacity}")
 
     def shrink_cells_if_idle(self, max_fill: int):
+        if self.brute:
+            return
         if self.cell_capacity > 2 * max(max_fill, 4) and self.cell_capacity > 8:
             self.cell_capacity //= 2
             self.log(f"engine: shrinking cell capacity to {self.cell_capacity}")
@@ -605,6 +652,32 @@ class _AdaptiveEngine:
             raise RuntimeError("contact capacity limit exceeded")
         self.contact_capacity *= 2
         self.log(f"engine: growing contact capacity to {self.contact_capacity}")
+
+    def probe_capacity(self, positions):
+        """Size the cell capacity from the actual densest cell before the
+        first chunk (each adaptive retry costs a compile + a slow chunk;
+        spline-resampled structures can exceed any reasonable default)."""
+        if self.brute:
+            return
+        from ..ops.neighbor import CellGrid, build_cell_table
+
+        cell_size = max(
+            self.config.interphase.a_core_diameter,
+            self.config.interphase.b_core_diameter,
+        )
+        grid = CellGrid.cubic(
+            bound=self.settings.grid_bound, cell_size=cell_size, capacity=1
+        )
+        _, _, max_fill = jax.jit(
+            lambda x: build_cell_table(grid, x)
+        )(positions)
+        needed = int(2 ** np.ceil(np.log2(max(int(max_fill), 8))))
+        if needed > self.cell_capacity:
+            self.log(
+                f"engine: probed densest cell = {int(max_fill)} beads; "
+                f"cell capacity -> {needed}"
+            )
+            self.cell_capacity = min(needed, self.MAX_CAPACITY)
 
 
 def run_interphase(
@@ -640,6 +713,8 @@ def run_interphase(
     if x.shape[0] != n:
         raise ValueError("initial structure size mismatch")
     engine.update_bound(float(np.abs(np.asarray(x)).max()))
+    engine.update_cell_scale(c.core_scale_init)
+    engine.probe_capacity(x)
 
     def relax_context(bundle, x):
         e = mean_energy(bundle, x, 0.0, semiaxes0)
@@ -651,7 +726,7 @@ def run_interphase(
             mean_energy=e,
         )
 
-    bundle = engine.bundle()
+    bundle = engine.bundle(relax=True)
     ctx = relax_context(bundle, x)
     store.save_positions(0, np.asarray(x))
     store.save_interphase_context(0, ctx)
@@ -662,7 +737,7 @@ def run_interphase(
     n_chunks = c.relaxation_steps // c.relaxation_sampling_interval
     for chunk in range(n_chunks):
         while True:
-            bundle = engine.bundle()
+            bundle = engine.bundle(relax=True)
             carry = bundle["relax_chunk"]((*state, zero_stats()))
             overflow, max_fill = (int(v) for v in carry[3])
             if overflow > 0:
@@ -719,6 +794,9 @@ def run_interphase(
         store.append_frame(step)
         return ctx
 
+    # The relaxed structure is far less skewed than the fresh spline blobs:
+    # re-size the capacity for the G1 engine.
+    engine.probe_capacity(x)
     bundle = engine.bundle()
     model = bundle["model"]
     if checkpoint is not None:
@@ -771,6 +849,9 @@ def run_interphase(
         state = (x, k, semiaxes)
         engine.shrink_cells_if_idle(max_fill)
         engine.update_bound(float(np.abs(np.asarray(x)).max()))
+        # Bucket must cover the cutoff through the END of the next chunk.
+        core_next, _ = model.scales(jnp.asarray((start + 2 * sampling) * c.timestep))
+        engine.update_cell_scale(float(core_next))
         step = start + sampling
 
         window_chunks.append(contact_list_to_host(contact))
