@@ -49,11 +49,16 @@ class AnatelophaseModel:
         m = config.mitotic_phase
         n = design.particle_count
         chains = design.chains
-        kinetochores = np.asarray([c.kinetochore for c in chains], np.int32)
+        # Chains without a kinetochore (shorter than the coarse-graining
+        # window) have no microtubule attachment: exclude them from dragging.
+        attached = [c for c in chains if c.kinetochore is not None]
+        kinetochores = np.asarray(
+            [c.kinetochore for c in attached], np.int32
+        )
         # Per-chain kinetochore spring: K = decay_rate / (core_mobility/len)
         # (stage_anatelophase/simulation_driver.cpp:158-168).
-        lens = np.asarray([c.end - c.start for c in chains], np.float64)
-        kf = m.kfiber_decay_rate_anaphase / (m.core_mobility / lens)
+        lens = np.asarray([c.end - c.start for c in attached], np.float64)
+        kf = m.kfiber_decay_rate_anaphase / (m.core_mobility / np.maximum(lens, 1))
         pole = np.asarray(m.anaphase_spindle_shift, np.float64)
         return cls(
             config=m,

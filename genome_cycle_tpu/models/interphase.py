@@ -115,6 +115,7 @@ class InterphaseModel:
     nuc_bonds: jnp.ndarray         # (Bn, 2) NOR-nucleolus bonds
     nuc_targets: jnp.ndarray       # (Tn,) nucleolar particle indices
     grid: CellGrid
+    contact_grid: CellGrid
     settings: EngineSettings
     use_loops: bool
     use_droplet: bool
@@ -180,6 +181,20 @@ class InterphaseModel:
             cell_size=cell_size,
             capacity=settings.cell_capacity,
         )
+        # The contact-list build searches out to contactmap_distance *
+        # core_scale + margin, which exceeds the force grid's cell size; its
+        # 27-cell stencil needs cells at least that big or pairs at the edge
+        # of the margin are silently missed.
+        contact_cell = icfg.contactmap_distance + settings.contact_margin
+        contact_capacity_cells = int(
+            settings.cell_capacity
+            * max(1, int(np.ceil((contact_cell / cell_size) ** 3)))
+        )
+        contact_grid = CellGrid.cubic(
+            bound=settings.grid_bound,
+            cell_size=contact_cell,
+            capacity=contact_capacity_cells,
+        )
         dense_grid = None
         if settings.use_dense_grid:
             dense_grid = DenseGrid.cubic(
@@ -203,6 +218,7 @@ class InterphaseModel:
             nuc_bonds=jnp.asarray(nuc_bonds, jnp.int32).reshape(-1, 2),
             nuc_targets=jnp.asarray(nuc_targets, jnp.int32),
             grid=grid,
+            contact_grid=contact_grid,
             settings=settings,
             use_loops=use_loops,
             use_droplet=use_droplet,
@@ -527,13 +543,14 @@ class InterphaseModel:
         return (x, key, semiaxes, contact, stats)
 
     def fresh_contact_list(self, positions, core_scale) -> ContactList:
-        table, _, _ = build_cell_table(self.grid, positions)
+        table, _, _ = build_cell_table(self.contact_grid, positions)
         cutoff = (
             self.config.contactmap_distance * core_scale
             + self.settings.contact_margin
         )
         return build_contact_list(
-            self.grid, table, positions, cutoff, self.settings.contact_capacity
+            self.contact_grid, table, positions, cutoff,
+            self.settings.contact_capacity,
         )
 
 
@@ -795,8 +812,16 @@ def run_interphase(
         return ctx
 
     # The relaxed structure is far less skewed than the fresh spline blobs:
-    # re-size the capacity for the G1 engine.
+    # re-size the capacity for the G1 engine, and pick the cell-size bucket
+    # covering the first (possibly resumed) chunk's cutoff.
     engine.probe_capacity(x)
+
+    def _core_at(t):
+        return 1.0 - (1.0 - c.core_scale_init) * np.exp(-t / c.core_scale_tau)
+
+    engine.update_cell_scale(
+        _core_at((resume_step + 2 * c.sampling_interval) * c.timestep)
+    )
     bundle = engine.bundle()
     model = bundle["model"]
     if checkpoint is not None:

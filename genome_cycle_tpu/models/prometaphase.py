@@ -58,6 +58,9 @@ class PrometaphaseModel:
         for target_index, sister_index in design.sister_chromatids:
             target = chains[target_index]
             sister = chains[sister_index]
+            if target.kinetochore is None or sister.kinetochore is None:
+                # Kinetochore-less chromatid pair: no cohesion/fiber terms.
+                continue
             sister_pairs.append([target.kinetochore, sister.kinetochore])
             t_kin.append(target.kinetochore)
             s_kin.append(sister.kinetochore)

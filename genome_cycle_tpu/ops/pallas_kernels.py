@@ -51,6 +51,10 @@ def plane_geometry(dims: Tuple[int, int, int]):
     nx, ny, nz = dims
     if nz + 1 > 128:
         raise ValueError("nz too large for the 128-lane halo layout")
+    if nz < 3:
+        # With nz <= 2 distinct (oy, oz) offsets alias to the same flat shift
+        # and neighbor pairs would be double-counted.
+        raise ValueError("nz < 3 not supported by the flat-shift layout")
     h0 = 128  # lane-aligned in-plane data offset; >= nz+1 halo
     plane_stride = _round_up(h0 + ny * nz + nz + 1, 128)
     cp = (nx + 2) * plane_stride

@@ -46,8 +46,41 @@ def run_ensemble_interphase(
         if d.particle_count != n:
             raise ValueError("ensemble stores disagree on topology")
 
+    import dataclasses
+
+    if settings is None:
+        settings = EngineSettings.auto(n, config.interphase)
+    # Probe the densest cell across replicas up front; the ensemble driver
+    # keeps lock-step simplicity (no adaptive rerun loops), so capacity must
+    # be right from the start and any overflow is a hard error rather than a
+    # silent drop.
+    from ..ops.neighbor import CellGrid, build_cell_table
+
+    cell_size = max(
+        config.interphase.a_core_diameter, config.interphase.b_core_diameter
+    )
+    probe_grid = CellGrid.cubic(
+        bound=settings.grid_bound, cell_size=cell_size, capacity=1
+    )
+    max_fill = 0
+    for store_ in stores:
+        pos0 = jnp.asarray(s_store_positions(store_), jnp.float32)
+        _, _, fill = jax.jit(lambda x: build_cell_table(probe_grid, x))(pos0)
+        max_fill = max(max_fill, int(fill))
+    needed = int(2 ** np.ceil(np.log2(max(max_fill, 8))))
+    if needed > settings.cell_capacity:
+        log(f"ensemble: probed densest cell = {max_fill}; cell capacity -> {needed}")
+        settings = dataclasses.replace(settings, cell_capacity=needed)
+
     model = InterphaseModel.from_design(designs[0], config, settings)
     c = model.config
+
+    def check_overflow(stats_arr, what):
+        if int(np.max(np.asarray(stats_arr))) > 0:
+            raise RuntimeError(
+                f"ensemble {what} overflow — rerun with larger capacity "
+                "(the ensemble driver does not adaptively retry)"
+            )
 
     keys = jnp.stack(
         [
@@ -108,6 +141,7 @@ def run_ensemble_interphase(
     carry = (positions, relax_keys, semiaxes)
     for chunk in range(c.relaxation_steps // c.relaxation_sampling_interval):
         x, k, s, stats = relax_chunk(carry)
+        check_overflow(stats[0], "cell capacity")
         carry = (x, k, s)
         step = (chunk + 1) * c.relaxation_sampling_interval
         sample_relax(step, x)
@@ -156,6 +190,35 @@ def run_ensemble_interphase(
         counts = jnp.stack([ct.counts for ct in contacts])
         return ids, counts
 
+    # callback(0) semantics of the reference / single-store driver: sample
+    # frame 0, one contact update, dump-and-clear the step-0 window, then a
+    # reaction-free wall update before step 1.
+    core0, _ = model.scales(jnp.asarray(0.0))
+    contacts0 = [
+        update_contact_counts(
+            model.fresh_contact_list(positions[k], float(core0)),
+            positions[k],
+            c.contactmap_distance * float(core0),
+        )
+        for k in range(r)
+    ]
+    for k, store in enumerate(stores):
+        store.save_positions(0, np.asarray(positions[k]))
+        store.save_interphase_context(
+            0,
+            InterphaseContext(
+                time=0.0,
+                wall_semiaxes=tuple(float(v) for v in np.asarray(semiaxes[k])),
+                core_scale=float(core0),
+                bond_scale=float(model.scales(jnp.asarray(0.0))[1]),
+            ),
+        )
+        coo0 = merge_window([contact_list_to_host(contacts0[k])])
+        store.save_contacts(0, coo0)
+        store.append_frame(0)
+    spring = jnp.asarray(c.wall_semiaxes_spring, jnp.float32)
+    semiaxes = semiaxes + c.timestep * c.wall_mobility * (0.0 - spring * semiaxes)
+
     window_chunks: list[list] = [[] for _ in range(r)]
     ids, counts = fresh_contacts(positions, 0)
     carry = (positions, keys, semiaxes, ids, counts)
@@ -163,6 +226,7 @@ def run_ensemble_interphase(
     for chunk in range(c.steps // sampling):
         start = chunk * sampling
         x, k, semis, ids, counts, stats = inter_chunk(carry, jnp.asarray(start))
+        check_overflow(stats[0], "cell capacity")
         step = start + sampling
 
         from ..ops.contact import ContactList

@@ -144,7 +144,6 @@ def make_sharded_interphase_step(model: InterphaseModel, mesh: Mesh):
 
 def make_sharded_chunk(model: InterphaseModel, mesh: Mesh, chunk_steps: int):
     """Scan the sharded step over a chunk of steps (the jit unit)."""
-    step = make_sharded_interphase_step.__wrapped__ if False else None
     c = model.config
     n = model.n
     n_shards = mesh.shape["beads"]
@@ -186,9 +185,9 @@ def init_sharded_carry(
     )
 
     def build_replica(p):
-        table, _, _ = build_cell_table(model.grid, p)
+        table, _, _ = build_cell_table(model.contact_grid, p)
         contact = build_contact_list(
-            model.grid, table, p, cutoff, cap
+            model.contact_grid, table, p, cutoff, cap
         )
         return contact.ids, contact.counts
 

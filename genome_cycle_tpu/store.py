@@ -204,7 +204,9 @@ class SimulationStore:
         kpath = self._metadata_path(stage, "kinetochore_beads")
         if kpath in self._file:
             for chain, k in zip(chains, self._file[kpath][:]):
-                chain.kinetochore = int(k)
+                # -1 marks "no kinetochore" (chain shorter than the
+                # coarse-graining window); keep it None, not a real index.
+                chain.kinetochore = int(k) if int(k) >= 0 else None
         return chains
 
     def load_anatelophase_design(self) -> StageDesign:

@@ -229,7 +229,9 @@ def test_ensemble_interphase(tmp_path, rng):
     for p in paths:
         with SimulationStore(p) as s:
             s.set_stage("interphase")
-            assert s.load_steps() == [100, 200]
+            # callback(0) semantics: frame 0 with its own contact window,
+            # matching the reference and the single-store driver.
+            assert s.load_steps() == [0, 100, 200]
             x = s.load_positions(200)
             assert np.isfinite(x).all()
             final.append(x)
