@@ -391,8 +391,6 @@ class InterphaseModel:
             )
 
             m = self.dense_grid.capacity
-            # j-side sublane chunk: bound the (M, JB, plane) live temporaries.
-            chunk = m if m <= 32 else (16 if m <= 64 else 8)
             slab, ids, overflow, max_fill = build_padded_slab(
                 self.dense_grid, positions, self.af, self.bf
             )
@@ -406,7 +404,7 @@ class InterphaseModel:
                 jnp.float32,
             )
             planes = ab_pair_forces_pallas(
-                slab, kparams, self.dense_grid.dims, m, chunk
+                slab, kparams, self.dense_grid.dims, m
             )
             forces = forces_to_beads(planes, ids, self.n)
             zero = jnp.asarray(0.0, positions.dtype)

@@ -56,14 +56,22 @@ def plane_geometry(dims: Tuple[int, int, int]):
         # and neighbor pairs would be double-counted.
         raise ValueError("nz < 3 not supported by the flat-shift layout")
     h0 = 128  # lane-aligned in-plane data offset; >= nz+1 halo
-    plane_stride = _round_up(h0 + ny * nz + nz + 1, 128)
+    # The kernel's neighbor slices extend to h0 + round_up(plane, chunk) +
+    # nz + 1 with chunk up to 128: size the stride so every static slice
+    # stays in bounds.
+    plane_w = _round_up(ny * nz, 128)
+    plane_stride = _round_up(h0 + plane_w + nz + 1, 128)
     cp = (nx + 2) * plane_stride
     return h0, plane_stride, cp
 
 
 def _kernel(params_ref, slab_hbm, out_ref, scratch, rolled_buf, facc, sem,
-            *, dims, m, chunk):
-    """chunk = lane-chunk width (cells processed per inner loop step)."""
+            *, dims, m, chunk, jb):
+    """chunk = lane-chunk width (cells per inner loop step; must be a
+    multiple of 128 — Mosaic only allows dynamic lane offsets it can prove
+    are 128-aligned).  jb = j-side sublane block: pair temporaries are
+    (m, jb, chunk) instead of (m, m, chunk), bounding VMEM pressure at
+    high per-cell capacity."""
     nx, ny, nz = dims
     h0, plane_stride, _ = plane_geometry(dims)
     plane = ny * nz
@@ -91,11 +99,15 @@ def _kernel(params_ref, slab_hbm, out_ref, scratch, rolled_buf, facc, sem,
 
     facc[...] = jnp.zeros_like(facc)
 
-    # f32 self-pair mask (Mosaic minor-dim broadcast needs 32-bit types).
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    ).astype(jnp.float32)
+    # f32 self-pair masks, one per j-sublane block (Mosaic minor-dim
+    # broadcast needs 32-bit types).
+    eyes = [
+        (
+            jax.lax.broadcasted_iota(jnp.int32, (m, jb), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (m, jb), 1) + j0
+        ).astype(jnp.float32)
+        for j0 in range(0, m, jb)
+    ]
 
     n_chunks = plane_w // chunk
 
@@ -117,40 +129,51 @@ def _kernel(params_ref, slab_hbm, out_ref, scratch, rolled_buf, facc, sem,
                     # chunk — the supported dynamic-slicing form.
                     off = h0 + k * chunk
                     own = scratch[1, :, :, pl.ds(off, chunk)]   # (6, M, CH)
-                    nbr = rolled_buf[:, :, pl.ds(off, chunk)]   # (6, M, CH)
-                    dx = own[0][:, None, :] - nbr[0][None, :, :]
-                    dy = own[1][:, None, :] - nbr[1][None, :, :]
-                    dz = own[2][:, None, :] - nbr[2][None, :, :]
-                    r2 = dx * dx + dy * dy + dz * dz
-                    if is_center:
-                        r2 = r2 + eye[:, :, None] * FAR
+                    fx = jnp.zeros((m, chunk), jnp.float32)
+                    fy = jnp.zeros((m, chunk), jnp.float32)
+                    fz = jnp.zeros((m, chunk), jnp.float32)
+                    # Static j-sublane blocks keep pair temporaries at
+                    # (M, jb, CH) — VMEM-bounded at any capacity.
+                    for bi, j0 in enumerate(range(0, m, jb)):
+                        nbr = rolled_buf[:, j0:j0 + jb, pl.ds(off, chunk)]
+                        dx = own[0][:, None, :] - nbr[0][None, :, :]
+                        dy = own[1][:, None, :] - nbr[1][None, :, :]
+                        dz = own[2][:, None, :] - nbr[2][None, :, :]
+                        r2 = dx * dx + dy * dy + dz * dz
+                        if is_center:
+                            r2 = r2 + eyes[bi][:, :, None] * FAR
 
-                    a_mix = 0.5 * (own[3][:, None, :] + nbr[3][None, :, :])
-                    b_mix = 0.5 * (own[4][:, None, :] + nbr[4][None, :, :])
+                        a_mix = 0.5 * (own[3][:, None, :] + nbr[3][None, :, :])
+                        b_mix = 0.5 * (own[4][:, None, :] + nbr[4][None, :, :])
 
-                    # softcore<2,3>: c = 6 e / d^2 * (1 - s)^2
-                    s_a = r2 * a_inv_d2
-                    core_a = 1.0 - s_a
-                    c_a = jnp.where(
-                        core_a > 0,
-                        6.0 * a_energy * a_inv_d2 * core_a * core_a,
-                        0.0,
-                    )
-                    # softcore<8,3>: c = 24 e / d^2 * s^3 (1 - s^4)^2
-                    s_b = r2 * b_inv_d2
-                    s_b2 = s_b * s_b
-                    core_b = 1.0 - s_b2 * s_b2
-                    c_b = jnp.where(
-                        core_b > 0,
-                        24.0 * b_energy * b_inv_d2 * s_b * s_b2 * core_b * core_b,
-                        0.0,
-                    )
-                    c = (a_mix * c_a + b_mix * c_b) * nbr[5][None, :, :]
+                        # softcore<2,3>: c = 6 e / d^2 * (1 - s)^2
+                        s_a = r2 * a_inv_d2
+                        core_a = 1.0 - s_a
+                        c_a = jnp.where(
+                            core_a > 0,
+                            6.0 * a_energy * a_inv_d2 * core_a * core_a,
+                            0.0,
+                        )
+                        # softcore<8,3>: c = 24 e / d^2 * s^3 (1 - s^4)^2
+                        s_b = r2 * b_inv_d2
+                        s_b2 = s_b * s_b
+                        core_b = 1.0 - s_b2 * s_b2
+                        c_b = jnp.where(
+                            core_b > 0,
+                            24.0 * b_energy * b_inv_d2
+                            * s_b * s_b2 * core_b * core_b,
+                            0.0,
+                        )
+                        c = (a_mix * c_a + b_mix * c_b) * nbr[5][None, :, :]
+
+                        fx = fx + jnp.sum(c * dx, axis=1)
+                        fy = fy + jnp.sum(c * dy, axis=1)
+                        fz = fz + jnp.sum(c * dz, axis=1)
 
                     ks = pl.ds(k * chunk, chunk)
-                    facc[0, :, ks] += jnp.sum(c * dx, axis=1)
-                    facc[1, :, ks] += jnp.sum(c * dy, axis=1)
-                    facc[2, :, ks] += jnp.sum(c * dz, axis=1)
+                    facc[0, :, ks] += fx
+                    facc[1, :, ks] += fy
+                    facc[2, :, ks] += fz
                     return 0
 
                 jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -161,13 +184,16 @@ def _kernel(params_ref, slab_hbm, out_ref, scratch, rolled_buf, facc, sem,
     out_ref[:, :, h0 : h0 + plane_w] = facc[:, :, :plane_w] * valid[None]
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "m", "chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("dims", "m", "chunk", "jb", "interpret")
+)
 def ab_pair_forces_pallas(
     slab: jnp.ndarray,        # (6, M, Cp) plane-padded channel slab, f32
     params: jnp.ndarray,      # (4,) [a_energy, 1/a_d^2, b_energy, 1/b_d^2]
     dims: Tuple[int, int, int],
     m: int,
     chunk: int = 128,
+    jb: int | None = None,
     interpret: bool = False,
 ):
     """Returns (3, M, Cp) force planes in the same padded layout (pad columns
@@ -176,16 +202,22 @@ def ab_pair_forces_pallas(
     h0, plane_stride, cp = plane_geometry(dims)
     if slab.shape != (6, m, cp):
         raise ValueError(f"bad slab shape {slab.shape}, expected (6, {m}, {cp})")
+    if chunk % 128 != 0:
+        raise ValueError("chunk must be a multiple of 128 (Mosaic lane tile)")
+    if jb is None:
+        jb = m if m <= 32 else 16
+    if m % jb != 0:
+        raise ValueError(f"jb={jb} must divide capacity m={m}")
 
     plane_w = _round_up(ny * nz, chunk)
     grid = (nx,)
-    kernel = functools.partial(_kernel, dims=dims, m=m, chunk=chunk)
+    kernel = functools.partial(_kernel, dims=dims, m=m, chunk=chunk, jb=jb)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (3, m, plane_stride), lambda p: (0, 0, p + 1), memory_space=pltpu.VMEM
@@ -201,11 +233,14 @@ def ab_pair_forces_pallas(
     )(params, slab)
 
 
-def build_padded_slab(grid, positions, af, bf):
-    """Scatter beads into the plane-padded (6, M, Cp) channel slab.
+def assign_slots(grid, positions):
+    """Per-bead slab slot assignment (the sort; the expensive part).
 
-    ``grid`` is a :class:`~genome_cycle_tpu.ops.dense_grid.DenseGrid`.
-    Returns (slab, ids (Cp, M) int32, overflow, max_fill).
+    Returns (slots (N,) int32, overflow, max_fill).  ``slots[i] = flat_cell *
+    M + rank``; beads that do not fit their cell's capacity get the
+    out-of-range sentinel ``Cp * M`` (dropped by the scatter, zero force on
+    readback).  Rank-within-cell is computed with a cummax over sorted run
+    starts — O(N) vector work, no gather loops.
     """
     n = positions.shape[0]
     m = grid.capacity
@@ -225,40 +260,68 @@ def build_padded_slab(grid, positions, af, bf):
 
     order = jnp.argsort(flat)
     sorted_flat = flat[order]
-    first_of_run = jnp.searchsorted(sorted_flat, sorted_flat, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first_of_run.astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_flat[1:] != sorted_flat[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    rank = iota - run_start
     max_fill = (jnp.max(rank, initial=-1) + 1).astype(jnp.int32)
     fits = rank < m
     overflow = jnp.sum(~fits).astype(jnp.int32)
     slot = jnp.where(fits, sorted_flat * m + rank, cp * m)
 
-    def scatter(channel, fill):
-        buf = jnp.full((cp * m,), fill, jnp.float32)
-        return buf.at[slot].set(
-            channel[order].astype(jnp.float32), mode="drop", unique_indices=True
-        ).reshape(cp, m)
-
-    px = scatter(positions[:, 0], FAR)
-    py = scatter(positions[:, 1], FAR)
-    pz = scatter(positions[:, 2], FAR)
-    ca = scatter(af, 0.0)
-    cb = scatter(bf, 0.0)
-    ones = jnp.ones((n,), jnp.float32)
-    cv = scatter(ones, 0.0)
-
-    ids = jnp.full((cp * m,), -1, jnp.int32)
-    ids = ids.at[slot].set(
-        order.astype(jnp.int32), mode="drop", unique_indices=True
-    ).reshape(cp, m)
-
-    slab = jnp.stack([px.T, py.T, pz.T, ca.T, cb.T, cv.T], axis=0)
-    return slab, ids, overflow, max_fill
+    slots = jnp.zeros((n,), jnp.int32).at[order].set(
+        slot, unique_indices=True
+    )
+    return slots, overflow, max_fill
 
 
-def forces_to_beads(planes, ids, n: int):
-    """(3, M, Cp) force planes + (Cp, M) bead ids -> (N, 3) forces."""
-    flat_ids = ids.reshape(-1)
-    forces = jnp.transpose(planes, (2, 1, 0)).reshape(-1, 3)
-    out = jnp.zeros((n, 3), planes.dtype)
-    safe = jnp.where(flat_ids >= 0, flat_ids, n)
-    return out.at[safe].set(forces, mode="drop", unique_indices=True)
+def refresh_slab(grid, slots, positions, af, bf):
+    """(6, M, Cp) channel slab from cached slots: one fused 8-channel
+    scatter, no sort."""
+    n = positions.shape[0]
+    m = grid.capacity
+    h0, plane_stride, cp = plane_geometry(grid.dims)
+
+    fills = jnp.asarray([FAR, FAR, FAR, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    vals = jnp.stack(
+        [
+            positions[:, 0], positions[:, 1], positions[:, 2],
+            af, bf, jnp.ones((n,), positions.dtype),
+            jnp.zeros((n,), positions.dtype),
+            jnp.zeros((n,), positions.dtype),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    buf = jnp.broadcast_to(fills, (cp * m, 8)).at[slots].set(
+        vals, mode="drop", unique_indices=True
+    )
+    slab = jnp.transpose(buf.reshape(cp, m, 8), (2, 1, 0))
+    return slab[:6]
+
+
+def build_padded_slab(grid, positions, af, bf):
+    """Scatter beads into the plane-padded (6, M, Cp) channel slab.
+
+    ``grid`` is a :class:`~genome_cycle_tpu.ops.dense_grid.DenseGrid`.
+    Returns (slab, slots (N,) int32, overflow, max_fill).
+    """
+    slots, overflow, max_fill = assign_slots(grid, positions)
+    slab = refresh_slab(grid, slots, positions, af, bf)
+    return slab, slots, overflow, max_fill
+
+
+def forces_to_beads(planes, slots, n: int):
+    """(3, M, Cp) force planes + per-bead slots -> (N, 3) forces.
+
+    Pure gather: overflowed beads (sentinel slot) read the clamped edge
+    entry and are masked to zero.
+    """
+    m = planes.shape[1]
+    cp = planes.shape[2]
+    slot_c = jnp.minimum(slots // m, cp - 1)
+    slot_m = slots % m
+    f = planes[:, slot_m, slot_c]          # (3, N)
+    valid = (slots < cp * m)[None, :]
+    return jnp.where(valid, f, 0.0).T

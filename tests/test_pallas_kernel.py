@@ -33,8 +33,9 @@ def test_pallas_matches_brute_force(rng, core_scale):
     params = jnp.asarray(
         [2.5, 1 / (a_d * a_d), 2.5, 1 / (b_d * b_d)], jnp.float32
     )
+    # jb=8 exercises the sublane-blocked j loop (capacity 16 -> 2 blocks).
     planes = ab_pair_forces_pallas(
-        slab, params, grid.dims, grid.capacity, chunk=64, interpret=True
+        slab, params, grid.dims, grid.capacity, jb=8, interpret=True
     )
     f_pallas = forces_to_beads(planes, ids, n)
 
@@ -65,7 +66,7 @@ def test_pallas_boundary_cells(rng):
     slab, ids, overflow, _ = build_padded_slab(grid, positions, af, bf)
     params = jnp.asarray([2.5, 1 / 0.09, 2.5, 1 / 0.0576], jnp.float32)
     planes = ab_pair_forces_pallas(
-        slab, params, grid.dims, grid.capacity, chunk=64, interpret=True
+        slab, params, grid.dims, grid.capacity, interpret=True
     )
     f = np.asarray(forces_to_beads(planes, ids, 4))
 
