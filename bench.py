@@ -12,7 +12,12 @@ implementation of the same force field compiled with -O2 -march=native
 (bench_baseline.cpp) — the reference itself cannot be built here because its
 micromd submodule is not vendored (SURVEY.md §2.9), so this stands in as the
 reference-equivalent CPU baseline; its throughput is cached in
-bench_baseline.json after the first run.
+bench_baseline_r25.json after the first run.
+
+Robustness: per-cell capacity is probed from the actual initial structure
+(densest cell + headroom) and each variant retries once with doubled
+capacity if the run still overflows — an overflowed run measures dropped
+pairs, not the force field, and is never reported.
 """
 
 import json
@@ -34,6 +39,17 @@ BALL_RADIUS = 2.5
 BASELINE_CACHE = REPO / "bench_baseline_r25.json"
 
 
+def _probe_capacity(x, cell_size, margin=1.5):
+    """Densest-cell occupancy of the start structure, with headroom,
+    rounded up to a power of two (the slab engines want static capacity)."""
+    coords = np.floor(x / cell_size).astype(np.int64)
+    coords -= coords.min(axis=0)
+    dims = coords.max(axis=0) + 1
+    cid = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
+    max_fill = int(np.bincount(cid).max())
+    return int(2 ** np.ceil(np.log2(max(max_fill * margin, 8))))
+
+
 def _measure_variant(use_pallas, use_dense):
     import jax
     import jax.numpy as jnp
@@ -42,48 +58,59 @@ def _measure_variant(use_pallas, use_dense):
     import __graft_entry__ as ge
     from genome_cycle_tpu.models.interphase import EngineSettings
 
-    settings = EngineSettings(
-        cell_capacity=64,
-        contact_capacity=64,
-        grid_bound=9.0,
-        dense_bound=3.0,
-        use_dense_grid=use_dense,
-        use_pallas=use_pallas,
-    )
-    model = ge._make_model(n_beads=N_BEADS, chains=CHAINS, settings=settings)
+    x_host = ge._ball(N_BEADS, radius=BALL_RADIUS)
+    cell_size = 0.3  # max core diameter (reference interphase defaults)
+    capacity = _probe_capacity(x_host, cell_size)
 
-    x = jnp.asarray(ge._ball(model.n, radius=BALL_RADIUS))
-    key = jax.random.PRNGKey(0)
-    semiaxes = jnp.asarray([2.0, 2.0, 2.0], jnp.float32)
-    contact = model.fresh_contact_list(x, float(model.scales(0.0)[0]))
-    stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    carry = (x, key, semiaxes, contact, stats)
+    for attempt in range(3):
+        settings = EngineSettings(
+            cell_capacity=capacity,
+            contact_capacity=64,
+            grid_bound=BALL_RADIUS + 1.0,
+            dense_bound=BALL_RADIUS + 0.5,
+            use_dense_grid=use_dense,
+            use_pallas=use_pallas,
+        )
+        model = ge._make_model(n_beads=N_BEADS, chains=CHAINS, settings=settings)
 
-    chunk = jax.jit(
-        lambda carry, start: jax.lax.scan(
-            lambda cr, s: (model.interphase_step(cr, s), None),
-            carry,
-            start + 1 + jnp.arange(BENCH_STEPS),
-        )[0]
-    )
+        x = jnp.asarray(x_host[: model.n])
+        key = jax.random.PRNGKey(0)
+        semiaxes = jnp.asarray([2.0, 2.0, 2.0], jnp.float32)
+        contact = model.fresh_contact_list(x, float(model.scales(0.0)[0]))
+        stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        carry = (x, key, semiaxes, contact, stats)
 
-    # Warmup (compile + first run) + validity: a variant that overflows its
-    # cell capacity measured dropped pairs, not the force field.
-    carry = chunk(carry, jnp.asarray(0))
-    jax.block_until_ready(carry[0])
-    overflow = int(carry[4][0])
-    if overflow > 0:
-        raise RuntimeError(f"cell capacity overflow ({overflow}); invalid run")
+        chunk = jax.jit(
+            lambda carry, start: jax.lax.scan(
+                lambda cr, s: (model.interphase_step(cr, s), None),
+                carry,
+                start + 1 + jnp.arange(BENCH_STEPS),
+            )[0]
+        )
 
-    t0 = time.perf_counter()
-    reps = 3
-    for r in range(reps):
-        carry = chunk(carry, jnp.asarray((r + 1) * BENCH_STEPS))
-    jax.block_until_ready(carry[0])
-    dt = (time.perf_counter() - t0) / reps
+        # Warmup (compile + first run) + validity: a run that overflows its
+        # cell capacity measured dropped pairs, not the force field.
+        carry = chunk(carry, jnp.asarray(0))
+        jax.block_until_ready(carry[0])
+        overflow = int(carry[4][0])
+        if overflow > 0:
+            capacity *= 2
+            print(
+                f"cell capacity overflow ({overflow}); retrying at {capacity}",
+                file=sys.stderr,
+            )
+            continue
 
-    steps_per_s = BENCH_STEPS / dt
-    return steps_per_s * model.n, steps_per_s
+        t0 = time.perf_counter()
+        reps = 3
+        for r in range(reps):
+            carry = chunk(carry, jnp.asarray((r + 1) * BENCH_STEPS))
+        jax.block_until_ready(carry[0])
+        dt = (time.perf_counter() - t0) / reps
+
+        steps_per_s = BENCH_STEPS / dt
+        return steps_per_s * model.n, steps_per_s
+    raise RuntimeError("cell capacity overflow persisted after retries")
 
 
 def measure_tpu():
@@ -108,7 +135,7 @@ def measure_tpu():
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True, timeout=1500,
             )
             for line in out.stdout.splitlines():
                 if line.startswith("BENCHRESULT "):

@@ -1,9 +1,16 @@
-"""Merge trajectory contact samples into a cooler dataset.
+"""Build a cooler contact matrix from simulation trajectory stores.
 
-Reference: src/cool.py.  Bins are copied from the simulation's chains.tsv
-source; nucleolar particles become a virtual "nucleoli" chain.  Multiple
-trajectory files (ensemble replicas) merge into one contact matrix; an
-optional frame selection slices the sampled windows.
+Behavior parity with the reference (src/cool.py): the bin table is copied
+from the trajectory's embedded chains.tsv source, nucleolar particles get a
+virtual "nucleoli" chain, contact COO samples from one or more trajectories
+(ensemble replicas) merge into a single matrix, an optional ``--frames``
+selection restricts which sampled windows contribute, and the matrix is
+iteratively balanced afterwards.
+
+Implementation differs from the reference: bins are assembled with a single
+vectorized repeat over chain ranges (no per-chain loop), and frame selection
+resolves slices to index arrays up front.  The cooler container itself comes
+from :mod:`.coolio` (this framework's writer) rather than the cooler package.
 """
 
 from __future__ import annotations
@@ -24,62 +31,70 @@ NUCLEOLAR_CHAIN = "nucleoli"
 
 
 def simulation_bins(store_path: str) -> pd.DataFrame:
-    """Bin table for a trajectory store: chain bins + virtual nucleolar bins
-    (src/cool.py:27-73)."""
+    """Bin table for a trajectory store (src/cool.py:27-73).
+
+    Chain beads keep their genomic intervals from the chains.tsv source
+    (homologs stay distinct chains, as in the simulation input); trailing
+    nucleolar particles become consecutive fixed-size bins on the virtual
+    :data:`NUCLEOLAR_CHAIN` so NAD contacts survive into the matrix
+    (dephase trims them later).
+    """
     with h5py.File(store_path, "r") as store:
-        cycle_metadata = store["metadata"]
-        stage_metadata = store["stages/interphase/metadata"]
-        n_bins = len(stage_metadata["particle_types"])
-        chain_names = [name.decode() for name in stage_metadata["chain_names"]]
-        chain_ranges = stage_metadata["chain_ranges"][:]
-        chain_bins = pd.read_csv(
-            io.StringIO(cycle_metadata["chains_source"][()].decode()), sep="\t"
-        )
+        meta = store["stages/interphase/metadata"]
+        n_bins = meta["particle_types"].shape[0]
+        names = np.asarray([s.decode() for s in meta["chain_names"]], object)
+        ranges = np.asarray(meta["chain_ranges"])
+        source = store["metadata/chains_source"][()].decode()
 
-    bin_start = chain_bins["start"].values
-    bin_end = chain_bins["end"].values
-    bin_size = int(np.max(bin_end - bin_start))
+    table = pd.read_csv(io.StringIO(source), sep="\t")
+    lengths = ranges[:, 1] - ranges[:, 0]
+    beads_total = int(ranges.max())
+    n_nuc = n_bins - beads_total
+    binsize = int((table["end"] - table["start"]).max())
 
-    bins_chrom = np.empty(n_bins, dtype=object)
-    bins_start = np.empty(n_bins, dtype=int)
-    bins_end = np.empty(n_bins, dtype=int)
-    chains_end = int(chain_ranges.max())
+    chrom = np.concatenate(
+        [np.repeat(names, lengths), np.repeat([NUCLEOLAR_CHAIN], n_nuc)]
+    )
+    nuc_edges = binsize * np.arange(n_nuc + 1, dtype=np.int64)
+    start = np.concatenate(
+        [table["start"].to_numpy()[:beads_total], nuc_edges[:-1]]
+    )
+    end = np.concatenate([table["end"].to_numpy()[:beads_total], nuc_edges[1:]])
+    return pd.DataFrame({"chrom": chrom, "start": start, "end": end})
 
-    for name, (start, end) in zip(chain_names, chain_ranges):
-        bins_chrom[start:end] = name
-        bins_start[start:end] = bin_start[start:end]
-        bins_end[start:end] = bin_end[start:end]
 
-    indices = np.arange(n_bins - chains_end)
-    bins_chrom[chains_end:] = NUCLEOLAR_CHAIN
-    bins_start[chains_end:] = indices * bin_size
-    bins_end[chains_end:] = (indices + 1) * bin_size
-
-    return pd.DataFrame({"chrom": bins_chrom, "start": bins_start, "end": bins_end})
+def _selected_steps(snapshots: h5py.Group, frames) -> list[str]:
+    steps = [s.decode() for s in snapshots[".steps"]]
+    if frames is None:
+        return steps
+    picked: list[str] = []
+    for frame_slice in frames:
+        picked.extend(steps[frame_slice])
+    return picked
 
 
 def scan_pixels(input_sims, frames=None):
-    """Yield contact COO chunks from trajectory files (src/cool.py:80-110)."""
-    for input_sim in input_sims:
-        LOG.info("Ingesting from %s", input_sim)
+    """Yield contact COO chunks {bin1_id, bin2_id, count} (src/cool.py:80-110).
+
+    Contact dumps are sparse in the frame stream (only window boundaries
+    carry them); frames without a contacts dataset contribute nothing.
+    Unreadable trajectory files are skipped with a warning, matching the
+    reference's tolerance for partially written ensemble members.
+    """
+    for path in input_sims:
+        LOG.info("Ingesting from %s", path)
         try:
-            with h5py.File(input_sim, "r") as store:
-                snapshots = store["stages"]["interphase"]
-                steps = [step.decode() for step in snapshots[".steps"]]
-                steps_to_use = steps
-                if frames is not None:
-                    steps_to_use = np.concatenate(
-                        [steps[frame_slice] for frame_slice in frames]
-                    )
-                for step in steps_to_use:
-                    sample = snapshots[step]
-                    if "contacts" not in sample:
+            with h5py.File(path, "r") as store:
+                snapshots = store["stages/interphase"]
+                for step in _selected_steps(snapshots, frames):
+                    group = snapshots[step]
+                    if "contacts" not in group:
                         continue
-                    contacts = sample["contacts"][:]
+                    coo = np.asarray(group["contacts"])
                     yield {
-                        "bin1_id": contacts[:, 0],
-                        "bin2_id": contacts[:, 1],
-                        "count": contacts[:, 2],
+                        "bin1_id": coo[:, 0],
+                        "bin2_id": coo[:, 1],
+                        "count": coo[:, 2],
                     }
         except OSError as ex:
             LOG.warning(">> Skipping: %s", ex)
@@ -94,20 +109,19 @@ def main(*, output: str, frames=None, input_sims: list[str], no_balancing=False)
         balance_cooler(Cooler(output), store=True)
 
 
-def parse_frame_ranges(spec: str):
-    """"100,200-300,400-" -> [slice(100,101), slice(200,301), slice(400,None)]
-    (src/cool.py:152-169)."""
-    seq = []
-    for sub in spec.split(","):
-        match sub.split("-"):
-            case [point]:
-                i = int(point)
-                seq.append(slice(i, i + 1))
-            case [start, ""]:
-                seq.append(slice(int(start), None))
-            case [start, end]:
-                seq.append(slice(int(start), int(end) + 1))
-    return seq
+def parse_frame_ranges(spec: str) -> list[slice]:
+    """Parse "100,200-300,400-" into frame slices (src/cool.py:152-169):
+    a point selects one frame, "a-b" is inclusive, "a-" is open-ended."""
+    out: list[slice] = []
+    for piece in spec.split(","):
+        lo, dash, hi = piece.partition("-")
+        if not dash:
+            out.append(slice(int(lo), int(lo) + 1))
+        elif hi == "":
+            out.append(slice(int(lo), None))
+        else:
+            out.append(slice(int(lo), int(hi) + 1))
+    return out
 
 
 def parse_args() -> dict:

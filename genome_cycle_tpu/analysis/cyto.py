@@ -1,7 +1,15 @@
-"""Cytogenetic band annotation: stains -> {HET, CEN, NOR} categories.
+"""Cytogenetic band categories for chain annotation.
 
-Reference: src/pkg/annotate/cyto.py (duckdb interval join replaced with a
-vectorized pandas/numpy containment join).
+Maps UCSC cytoBand stains onto the three structural categories the chain
+designer cares about — heterochromatic G-bands (HET), centromeres (CEN) and
+NOR stalks (NOR) — and attaches one category per NCI bin.
+
+Behavior parity with the reference (src/pkg/annotate/cyto.py): same stain
+mapping, same containment-join semantics (a bin gets a band's stain only if
+the band fully contains it), same NOR p-arm extension rule.  The
+implementation is different: the reference runs a duckdb SQL left join and
+per-chromosome Python loops; here both the interval join and the p-arm
+extension are vectorized numpy over a chromosome-sorted frame.
 """
 
 from __future__ import annotations
@@ -27,13 +35,11 @@ CYTO_BAND_FORMAT = dict(
     sep="\t", header=None, names=["chrom", "start", "end", "name", "stain"]
 )
 
+# Gimsa-positive bands of any intensity are heterochromatic; acrocentric
+# stalks carry the rDNA repeats (NORs).
+_HET_STAINS = ("gpos25", "gpos33", "gpos50", "gpos66", "gpos75", "gpos100")
 STAIN_TO_CAT = {
-    "gpos25": CytoCat.HET,
-    "gpos33": CytoCat.HET,
-    "gpos50": CytoCat.HET,
-    "gpos66": CytoCat.HET,
-    "gpos75": CytoCat.HET,
-    "gpos100": CytoCat.HET,
+    **{stain: CytoCat.HET for stain in _HET_STAINS},
     "acen": CytoCat.CEN,
     "stalk": CytoCat.NOR,
 }
@@ -43,61 +49,68 @@ def load_cyto_band(filename: str) -> pd.DataFrame:
     return pd.read_csv(filename, **CYTO_BAND_FORMAT)
 
 
+def _categories_for_chrom(starts, ends, bands: pd.DataFrame) -> np.ndarray:
+    """Category codes for one chromosome's bins given its band intervals.
+
+    Bands tile the chromosome without overlap, so the band containing a
+    bin's start is found by bisection; the bin must also end inside it.
+    """
+    cats = np.full(starts.shape[0], CytoCat.NONE, dtype=object)
+    if not len(bands):
+        return cats
+    lo = bands["start"].to_numpy()
+    hi = bands["end"].to_numpy()
+    cat_codes = np.array(
+        [STAIN_TO_CAT.get(s, CytoCat.NONE) for s in bands["stain"]],
+        dtype=object,
+    )
+    k = np.searchsorted(lo, starts, side="right") - 1
+    k = np.clip(k, 0, len(lo) - 1)
+    contained = (starts >= lo[k]) & (ends <= hi[k])
+    cats[contained] = cat_codes[k[contained]]
+    return cats
+
+
 def attach_cyto_category(
     nci_table: pd.DataFrame,
     band_table: pd.DataFrame,
     extend_nor: bool = False,
 ) -> pd.DataFrame:
-    """LEFT JOIN each NCI bin onto the band fully containing it
-    (cyto.py:37-49), then map stains to categories."""
+    """Return ``nci_table`` with a ``cat`` column of :class:`CytoCat`."""
     out = nci_table.reset_index(drop=True).copy()
-    stains = np.full(len(out), None, dtype=object)
+    per_chrom_bands = dict(iter(band_table.groupby("chrom", sort=False)))
 
-    for chrom, band_group in band_table.groupby("chrom", sort=False):
-        sel = out["chrom"] == chrom
-        if not sel.any():
-            continue
-        starts = out.loc[sel, "start"].to_numpy()
-        ends = out.loc[sel, "end"].to_numpy()
-        b_start = band_group["start"].to_numpy()
-        b_end = band_group["end"].to_numpy()
-        b_stain = band_group["stain"].to_numpy()
-        # Containment: n.start >= b.start and n.end <= b.end.
-        idx = np.searchsorted(b_start, starts, side="right") - 1
-        idx = np.clip(idx, 0, len(b_start) - 1)
-        ok = (starts >= b_start[idx]) & (ends <= b_end[idx])
-        chosen = np.where(ok, b_stain[idx], None)
-        stains[np.where(sel)[0]] = chosen
-
-    out["cat"] = [STAIN_TO_CAT.get(s, CytoCat.NONE) for s in stains]
-
-    for chrom, track in out.groupby("chrom", sort=False):
-        if (track["cat"] == CytoCat.CEN).sum() == 0:
+    pieces = []
+    for chrom, bins in out.groupby("chrom", sort=False):
+        bands = per_chrom_bands.get(chrom, band_table.iloc[0:0])
+        cats = _categories_for_chrom(
+            bins["start"].to_numpy(), bins["end"].to_numpy(), bands
+        )
+        if not (cats == CytoCat.CEN).any():
             LOG.warning("No centromere was identified on %s", chrom)
-    if (out["cat"] == CytoCat.NOR).sum() == 0:
+        pieces.append(pd.Series(cats, index=bins.index))
+    out["cat"] = pd.concat(pieces).sort_index() if pieces else []
+
+    if not (out["cat"] == CytoCat.NOR).any():
         LOG.warning("No NOR was identified")
 
-    if extend_nor:
-        out = do_extend_nor(out)
-    return out
+    return do_extend_nor(out) if extend_nor else out
 
 
 def do_extend_nor(table: pd.DataFrame) -> pd.DataFrame:
-    """On NOR-bearing chromosomes, mark the whole p-arm (up to the centromere)
-    as NOR (cyto.py:82-103)."""
-    new_cats = []
-    for chrom, track in table.groupby("chrom", sort=False):
-        cats = track["cat"].values
-        seen_nor = False
-        arm_end = len(cats)
-        for i, cat in enumerate(cats):
-            if cat == CytoCat.NOR:
-                seen_nor = True
-            if cat == CytoCat.CEN:
-                arm_end = i
-                break
-        if seen_nor:
-            cats = cats.copy()
-            cats[:arm_end] = CytoCat.NOR
-        new_cats.append(cats)
-    return table.assign(cat=np.concatenate(new_cats))
+    """Mark the whole p-arm as NOR on NOR-bearing chromosomes.
+
+    The rDNA stalk sits on the short arm of acrocentric chromosomes; the
+    model treats that entire arm (everything before the first centromeric
+    bin) as nucleolus-organizing when any stalk band was seen there.
+    """
+    cat = table["cat"].to_numpy(dtype=object, copy=True)
+    chroms = table["chrom"].to_numpy()
+    for chrom in pd.unique(chroms):
+        rows = np.flatnonzero(chroms == chrom)
+        codes = cat[rows]
+        cen_hits = np.flatnonzero(codes == CytoCat.CEN)
+        arm_len = cen_hits[0] if len(cen_hits) else len(codes)
+        if (codes[:arm_len] == CytoCat.NOR).any():
+            cat[rows[:arm_len]] = CytoCat.NOR
+    return table.assign(cat=cat)

@@ -96,9 +96,13 @@ def update_contact_counts(
     if q_pos is None:
         q_pos = positions
     valid = contact.ids >= 0
-    j_pos = positions[jnp.maximum(contact.ids, 0)]
-    dx = q_pos[:, None, :] - j_pos
-    r2 = jnp.sum(dx * dx, axis=-1)
+    safe = jnp.maximum(contact.ids, 0)
+    # Per-coordinate (N, capacity) planes (3-minor gathers tile terribly on
+    # TPU; see neighbor_fold).
+    r2 = jnp.zeros(contact.ids.shape, positions.dtype)
+    for k in range(3):
+        d = q_pos[:, k, None] - positions[:, k][safe]
+        r2 = r2 + d * d
     hit = valid & (r2 < contact_distance * contact_distance)
     return contact._replace(counts=contact.counts + hit.astype(jnp.int32))
 

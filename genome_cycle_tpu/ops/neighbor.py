@@ -105,13 +105,20 @@ _OFFSETS = np.stack(
 def neighbor_fold(grid: CellGrid, table, positions, kernel, init, query=None):
     """Fold ``kernel`` over all candidate neighbor pairs.
 
-    ``kernel(carry, j_ids, dx, r2, valid) -> carry`` is called 27 times (one
+    ``kernel(carry, j_ids, dxs, r2, valid) -> carry`` is called 27 times (one
     per adjacent-cell offset) with:
 
     - ``j_ids``  (Q, capacity) int32 candidate bead indices
-    - ``dx``     (Q, capacity, 3)  query[i] - positions[j]
+    - ``dxs``    3-tuple of (Q, capacity) planes: query[i] - positions[j]
+                 per coordinate
     - ``r2``     (Q, capacity)     squared distances
     - ``valid``  (Q, capacity) bool: real entry, j != i, neighbor cell in grid
+
+    Coordinates travel as separate (Q, capacity) planes rather than a
+    (Q, capacity, 3) array: a 3-wide minor dimension pads to the 128-lane
+    TPU tile, so materialized gathers in that layout cost ~42x their true
+    size in HBM — at 100k beads x capacity 640 that is the difference
+    between 0.7 GB and 32 GB.
 
     ``query``: optional ``(q_pos (Q,3), q_ids (Q,))`` restricting the i side
     to a subset of beads — the hook spatially-sharded devices use to compute
@@ -130,6 +137,8 @@ def neighbor_fold(grid: CellGrid, table, positions, kernel, init, query=None):
     dims = jnp.asarray(grid.dims, jnp.int32)
     nx, ny, nz = grid.dims
     offsets = jnp.asarray(_OFFSETS, jnp.int32)
+    planes = tuple(positions[:, k] for k in range(3))
+    q_planes = tuple(q_pos[:, k] for k in range(3))
 
     def body(k, carry):
         nbr = coords + offsets[k]
@@ -138,12 +147,12 @@ def neighbor_fold(grid: CellGrid, table, positions, kernel, init, query=None):
         ncid = jnp.clip(ncid, 0, grid.num_cells - 1)
         j_ids = table[ncid]  # (Q, capacity)
         valid = (j_ids >= 0) & in_grid[:, None] & (j_ids != q_ids[:, None])
-        j_pos = positions[jnp.maximum(j_ids, 0)]
-        dx = q_pos[:, None, :] - j_pos
-        r2 = jnp.sum(dx * dx, axis=-1)
+        safe = jnp.maximum(j_ids, 0)
+        dxs = tuple(q[:, None] - p[safe] for q, p in zip(q_planes, planes))
+        r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
         # Force r2 of invalid lanes far outside any cutoff.
         r2 = jnp.where(valid, r2, jnp.asarray(1e30, positions.dtype))
-        return kernel(carry, j_ids, dx, r2, valid)
+        return kernel(carry, j_ids, dxs, r2, valid)
 
     return jax.lax.fori_loop(0, 27, body, init)
 
@@ -163,21 +172,24 @@ def pairwise_forces_cell(grid, table, positions, coeff_fn, energy_fn=None,
         q_ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
     else:
         q_pos, q_ids = query
-    zero_f = jnp.zeros_like(q_pos)
+    zero_f = tuple(jnp.zeros(q_pos.shape[0], positions.dtype) for _ in range(3))
     zero_e = jnp.asarray(0.0, positions.dtype)
 
-    def kernel(carry, j_ids, dx, r2, valid):
+    def kernel(carry, j_ids, dxs, r2, valid):
         forces, energy = carry
         c = jnp.where(valid, coeff_fn(r2, q_ids[:, None], j_ids), 0.0)
-        forces = forces + jnp.sum(c[:, :, None] * dx, axis=1)
+        forces = tuple(
+            f + jnp.sum(c * d, axis=1) for f, d in zip(forces, dxs)
+        )
         if energy_fn is not None:
             u = jnp.where(valid, energy_fn(r2, q_ids[:, None], j_ids), 0.0)
             energy = energy + 0.5 * jnp.sum(u)
         return forces, energy
 
-    return neighbor_fold(
+    forces, energy = neighbor_fold(
         grid, table, positions, kernel, (zero_f, zero_e), query=(q_pos, q_ids)
     )
+    return jnp.stack(forces, axis=-1), energy
 
 
 def pairwise_forces_dense(positions, coeff_fn, energy_fn=None, targets=None):
@@ -196,12 +208,14 @@ def pairwise_forces_dense(positions, coeff_fn, energy_fn=None, targets=None):
         pos = positions
         ids = jnp.arange(n, dtype=jnp.int32)
     m = pos.shape[0]
-    dx = pos[:, None, :] - pos[None, :, :]
-    r2 = jnp.sum(dx * dx, axis=-1)
+    # Per-coordinate (m, m) planes: a 3-minor pair array would pad to the
+    # 128-lane TPU tile (42x HBM blowup at large m).
+    dxs = tuple(pos[:, None, k] - pos[None, :, k] for k in range(3))
+    r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
     valid = ~jnp.eye(m, dtype=bool)
     r2 = jnp.where(valid, r2, jnp.asarray(1e30, positions.dtype))
     c = jnp.where(valid, coeff_fn(r2, ids[:, None], ids[None, :]), 0.0)
-    f = jnp.sum(c[:, :, None] * dx, axis=1)
+    f = jnp.stack([jnp.sum(c * d, axis=1) for d in dxs], axis=-1)
     if targets is not None:
         forces = jnp.zeros_like(positions).at[ids].add(f)
     else:
