@@ -39,15 +39,16 @@ BALL_RADIUS = 2.5
 BASELINE_CACHE = REPO / "bench_baseline_r25.json"
 
 
-def _probe_capacity(x, cell_size, margin=1.5):
+def _probe_capacity(x, cell_size, margin=1.25):
     """Densest-cell occupancy of the start structure, with headroom,
-    rounded up to a power of two (the slab engines want static capacity)."""
+    rounded up to a multiple of 32 (slab engines want static capacity; the
+    Pallas kernel wants a multiple of its j-sublane block)."""
     coords = np.floor(x / cell_size).astype(np.int64)
     coords -= coords.min(axis=0)
     dims = coords.max(axis=0) + 1
     cid = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
     max_fill = int(np.bincount(cid).max())
-    return int(2 ** np.ceil(np.log2(max(max_fill * margin, 8))))
+    return int(max(32, -(-int(max_fill * margin) // 32) * 32))
 
 
 def _measure_variant(use_pallas, use_dense):
@@ -75,7 +76,10 @@ def _measure_variant(use_pallas, use_dense):
 
         x = jnp.asarray(x_host[: model.n])
         key = jax.random.PRNGKey(0)
-        semiaxes = jnp.asarray([2.0, 2.0, 2.0], jnp.float32)
+        # Wall semiaxes match the start ball: density stays at the stated
+        # ~1500 beads/unit^3 instead of compressing mid-measurement (the C++
+        # baseline uses the same geometry).
+        semiaxes = jnp.full((3,), BALL_RADIUS, jnp.float32)
         contact = model.fresh_contact_list(x, float(model.scales(0.0)[0]))
         stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
         carry = (x, key, semiaxes, contact, stats)

@@ -34,7 +34,10 @@ int main(int argc, char** argv) {
     const double a_rep = 2.5, b_rep = 2.5;
     const double a_bondk = 100.0, b_bondk = 50.0;
     const double contact_dist = 0.24 * core_scale;
-    const double wall_ax = 2.0;
+    // Wall semiaxis matches the start ball so the measured density stays at
+    // the stated value instead of compressing during the run (the JAX bench
+    // uses the same geometry).
+    const double wall_ax = ball_radius;
     const double wall_pack = 1000.0;
     const double cutoff = a_diam;                  // max diameter * scale
     const int contact_every = 20;
