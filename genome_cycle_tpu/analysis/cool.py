@@ -1,16 +1,18 @@
-"""Build a cooler contact matrix from simulation trajectory stores.
+"""Aggregate simulated contact samples into a cooler matrix.
 
-Behavior parity with the reference (src/cool.py): the bin table is copied
-from the trajectory's embedded chains.tsv source, nucleolar particles get a
-virtual "nucleoli" chain, contact COO samples from one or more trajectories
-(ensemble replicas) merge into a single matrix, an optional ``--frames``
-selection restricts which sampled windows contribute, and the matrix is
-iteratively balanced afterwards.
+Covers the surface of the reference's contact-collection tool (``src/cool.py``
+in snsinfu/3d-genome-cycle): one or more trajectory stores (ensemble
+replicas) contribute their COO contact dumps to a single ``.cool`` dataset
+whose bin table is reconstructed from the embedded ``chains.tsv`` source,
+trailing nucleolar particles are exposed as a virtual chromosome, an optional
+frame selection restricts which sampled windows contribute, and the matrix is
+iteratively balanced at the end.
 
-Implementation differs from the reference: bins are assembled with a single
-vectorized repeat over chain ranges (no per-chain loop), and frame selection
-resolves slices to index arrays up front.  The cooler container itself comes
-from :mod:`.coolio` (this framework's writer) rather than the cooler package.
+The construction differs from the reference throughout: the genomic bins are
+taken straight from the chains.tsv columns instead of being re-scattered
+through chain-range loops, contact chunks stream as DataFrames, frame
+selections are parsed with a regular expression, and the cooler container is
+this framework's own :mod:`.coolio` writer rather than the cooler package.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from __future__ import annotations
 import argparse
 import io
 import logging
+import re
 
 import h5py
 import numpy as np
@@ -27,115 +30,137 @@ from .common import invoke_main, remove_none
 from .coolio import Cooler, balance_cooler, create_cooler
 
 LOG = logging.getLogger()
+
+#: Virtual chromosome name carrying the trailing nucleolar particles, so
+#: nucleolus-associated contacts survive into the matrix.  ``dephase`` trims
+#: this chain when producing the haploid, experiment-comparable map.
 NUCLEOLAR_CHAIN = "nucleoli"
 
+_STAGE = "stages/interphase"
 
-def simulation_bins(store_path: str) -> pd.DataFrame:
-    """Bin table for a trajectory store (src/cool.py:27-73).
 
-    Chain beads keep their genomic intervals from the chains.tsv source
-    (homologs stay distinct chains, as in the simulation input); trailing
-    nucleolar particles become consecutive fixed-size bins on the virtual
-    :data:`NUCLEOLAR_CHAIN` so NAD contacts survive into the matrix
-    (dephase trims them later).
+def bin_table(trajectory: str) -> pd.DataFrame:
+    """Bin table of a trajectory store.
+
+    Chain beads keep the genomic intervals recorded in the chains.tsv text
+    embedded at prepare time (homologs stay distinct chains, exactly as the
+    simulation saw them); every particle beyond the chain ranges is a
+    nucleolar bead and becomes one fixed-width bin of the virtual
+    :data:`NUCLEOLAR_CHAIN`.
     """
-    with h5py.File(store_path, "r") as store:
-        meta = store["stages/interphase/metadata"]
-        n_bins = meta["particle_types"].shape[0]
-        names = np.asarray([s.decode() for s in meta["chain_names"]], object)
-        ranges = np.asarray(meta["chain_ranges"])
-        source = store["metadata/chains_source"][()].decode()
+    with h5py.File(trajectory, "r") as f:
+        meta = f[_STAGE + "/metadata"]
+        total_particles = int(meta["particle_types"].shape[0])
+        chain_span = int(np.asarray(meta["chain_ranges"]).max())
+        chains_tsv = f["metadata/chains_source"][()].decode()
 
-    table = pd.read_csv(io.StringIO(source), sep="\t")
-    lengths = ranges[:, 1] - ranges[:, 0]
-    beads_total = int(ranges.max())
-    n_nuc = n_bins - beads_total
-    binsize = int((table["end"] - table["start"]).max())
-
-    chrom = np.concatenate(
-        [np.repeat(names, lengths), np.repeat([NUCLEOLAR_CHAIN], n_nuc)]
+    chains = pd.read_csv(io.StringIO(chains_tsv), sep="\t")
+    genomic = (
+        chains.iloc[:chain_span]
+        .loc[:, ["chain", "start", "end"]]
+        .rename(columns={"chain": "chrom"})
+        .astype({"start": np.int64, "end": np.int64})
     )
-    nuc_edges = binsize * np.arange(n_nuc + 1, dtype=np.int64)
-    start = np.concatenate(
-        [table["start"].to_numpy()[:beads_total], nuc_edges[:-1]]
+
+    width = int((chains["end"] - chains["start"]).max())
+    edges = width * np.arange(total_particles - chain_span + 1, dtype=np.int64)
+    virtual = pd.DataFrame(
+        {"chrom": NUCLEOLAR_CHAIN, "start": edges[:-1], "end": edges[1:]}
     )
-    end = np.concatenate([table["end"].to_numpy()[:beads_total], nuc_edges[1:]])
-    return pd.DataFrame({"chrom": chrom, "start": start, "end": end})
+    return pd.concat([genomic, virtual], ignore_index=True)
 
 
-def _selected_steps(snapshots: h5py.Group, frames) -> list[str]:
-    steps = [s.decode() for s in snapshots[".steps"]]
-    if frames is None:
-        return steps
-    picked: list[str] = []
-    for frame_slice in frames:
-        picked.extend(steps[frame_slice])
-    return picked
+def _frame_keys(stage: h5py.Group, selection) -> list[str]:
+    """Step-group names of the sampled frames, optionally sliced."""
+    labels = [raw.decode() for raw in stage[".steps"]]
+    if selection is None:
+        return labels
+    chosen: list[str] = []
+    for sl in selection:
+        chosen.extend(labels[sl])
+    return chosen
 
 
-def scan_pixels(input_sims, frames=None):
-    """Yield contact COO chunks {bin1_id, bin2_id, count} (src/cool.py:80-110).
+def iter_contact_chunks(trajectories, selection=None):
+    """Stream contact COO chunks as DataFrames across all input stores.
 
-    Contact dumps are sparse in the frame stream (only window boundaries
-    carry them); frames without a contacts dataset contribute nothing.
-    Unreadable trajectory files are skipped with a warning, matching the
-    reference's tolerance for partially written ensemble members.
+    Only window-boundary frames carry a contacts dataset; other frames are
+    skipped silently.  A store that cannot be opened is skipped with a
+    warning so one broken ensemble member does not sink the merge.
     """
-    for path in input_sims:
+    for path in trajectories:
         LOG.info("Ingesting from %s", path)
         try:
-            with h5py.File(path, "r") as store:
-                snapshots = store["stages/interphase"]
-                for step in _selected_steps(snapshots, frames):
-                    group = snapshots[step]
-                    if "contacts" not in group:
-                        continue
-                    coo = np.asarray(group["contacts"])
-                    yield {
-                        "bin1_id": coo[:, 0],
-                        "bin2_id": coo[:, 1],
-                        "count": coo[:, 2],
-                    }
-        except OSError as ex:
-            LOG.warning(">> Skipping: %s", ex)
+            handle = h5py.File(path, "r")
+        except OSError as err:
+            LOG.warning(">> Skipping: %s", err)
+            continue
+        with handle:
+            stage = handle[_STAGE]
+            for key in _frame_keys(stage, selection):
+                node = stage[key]
+                if "contacts" not in node:
+                    continue
+                row, col, count = np.asarray(node["contacts"]).T
+                yield pd.DataFrame(
+                    {"bin1_id": row, "bin2_id": col, "count": count}
+                )
 
 
 def main(*, output: str, frames=None, input_sims: list[str], no_balancing=False):
-    bins = simulation_bins(input_sims[0])
+    bins = bin_table(input_sims[0])
     LOG.info("Bins: %d", len(bins))
-    create_cooler(output, bins, scan_pixels(input_sims, frames))
+    create_cooler(output, bins, iter_contact_chunks(input_sims, frames))
     if not no_balancing:
         LOG.info("Balancing contact matrix")
         balance_cooler(Cooler(output), store=True)
 
 
+_RANGE_TOKEN = re.compile(r"^(\d+)(-(\d*))?$")
+
+
 def parse_frame_ranges(spec: str) -> list[slice]:
-    """Parse "100,200-300,400-" into frame slices (src/cool.py:152-169):
-    a point selects one frame, "a-b" is inclusive, "a-" is open-ended."""
-    out: list[slice] = []
-    for piece in spec.split(","):
-        lo, dash, hi = piece.partition("-")
-        if not dash:
-            out.append(slice(int(lo), int(lo) + 1))
-        elif hi == "":
-            out.append(slice(int(lo), None))
+    """Frame-selection grammar: ``"100,200-300,400-"`` selects frame 100,
+    frames 200..300 inclusive, and everything from 400 on."""
+    selection: list[slice] = []
+    for token in spec.split(","):
+        m = _RANGE_TOKEN.match(token.strip())
+        if m is None:
+            raise ValueError(f"bad frame range {token!r}")
+        first = int(m.group(1))
+        if m.group(2) is None:
+            selection.append(slice(first, first + 1))
+        elif m.group(3) == "":
+            selection.append(slice(first, None))
         else:
-            out.append(slice(int(lo), int(hi) + 1))
-    return out
+            selection.append(slice(first, int(m.group(3)) + 1))
+    return selection
 
 
 def parse_args() -> dict:
     parser = argparse.ArgumentParser(
         description="Collect contact samples from simulation trajectories"
     )
-    parser.add_argument("--output", metavar="sim.cool", required=True)
-    parser.add_argument("--frames", metavar="300-500,600", type=str)
-    parser.add_argument("--no-balancing", action="store_true", default=None)
-    parser.add_argument("input_sims", metavar="sim.h5", nargs="+")
-    args = vars(parser.parse_args())
-    if args.get("frames"):
-        args["frames"] = parse_frame_ranges(args["frames"])
-    return remove_none(args)
+    parser.add_argument(
+        "--output", metavar="sim.cool", required=True,
+        help="cooler dataset to create",
+    )
+    parser.add_argument(
+        "--frames", metavar="300-500,600",
+        help="restrict to these sampled frames (see parse_frame_ranges)",
+    )
+    parser.add_argument(
+        "--no-balancing", action="store_true", default=None,
+        help="skip matrix balancing",
+    )
+    parser.add_argument(
+        "input_sims", metavar="sim.h5", nargs="+",
+        help="trajectory stores (ensemble replicas merge)",
+    )
+    options = vars(parser.parse_args())
+    if options.get("frames"):
+        options["frames"] = parse_frame_ranges(options["frames"])
+    return remove_none(options)
 
 
 if __name__ == "__main__":

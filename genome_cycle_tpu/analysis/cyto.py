@@ -1,15 +1,17 @@
-"""Cytogenetic band categories for chain annotation.
+"""Cytogenetic-band classification of genomic bins.
 
-Maps UCSC cytoBand stains onto the three structural categories the chain
-designer cares about — heterochromatic G-bands (HET), centromeres (CEN) and
-NOR stalks (NOR) — and attaches one category per NCI bin.
+The chain designer needs to know, for every NCI bin, whether it falls in a
+heterochromatic Giemsa band, a centromere, or an rDNA stalk (NOR).  This
+module turns a UCSC ``cytoBand.txt`` table into that per-bin category track.
 
-Behavior parity with the reference (src/pkg/annotate/cyto.py): same stain
-mapping, same containment-join semantics (a bin gets a band's stain only if
-the band fully contains it), same NOR p-arm extension rule.  The
-implementation is different: the reference runs a duckdb SQL left join and
-per-chromosome Python loops; here both the interval join and the p-arm
-extension are vectorized numpy over a chromosome-sorted frame.
+Behavior matches the reference pipeline (``src/pkg/annotate/cyto.py`` in
+snsinfu/3d-genome-cycle): a bin is categorized only when a band fully
+contains it, gpos bands of any intensity count as heterochromatin, ``acen``
+is centromere, ``stalk`` is NOR, and the optional NOR-arm extension promotes
+the entire short arm of a stalk-bearing chromosome to NOR.  The machinery is
+original: instead of an in-memory SQL join plus per-chromosome Python loops,
+bins and bands meet in a single ``pandas.merge_asof`` pass and the arm
+extension is a grouped cumulative-max scan.
 """
 
 from __future__ import annotations
@@ -23,52 +25,59 @@ import pandas as pd
 LOG = logging.getLogger(__name__)
 
 
-class CytoCat(enum.Enum):
+class CytoCat(enum.IntEnum):
+    """Structural category of a genomic bin, ordered by priority none < het
+    < cen < nor (the integer codes are internal; rows carry the enum)."""
+
     NONE = 0
     HET = 1
     CEN = 2
     NOR = 3
 
 
-# https://hgdownload.cse.ucsc.edu/goldenPath/hg38/database/cytoBand.txt.gz
-CYTO_BAND_FORMAT = dict(
-    sep="\t", header=None, names=["chrom", "start", "end", "name", "stain"]
-)
+# Stain keyword -> category.  Giemsa-positive bands of every recorded
+# intensity are treated as heterochromatic; gneg/gvar/other stains fall
+# through to NONE.
+_STAIN_CODES: dict[str, int] = {"acen": int(CytoCat.CEN), "stalk": int(CytoCat.NOR)}
+for _level in (25, 33, 50, 66, 75, 100):
+    _STAIN_CODES[f"gpos{_level}"] = int(CytoCat.HET)
 
-# Gimsa-positive bands of any intensity are heterochromatic; acrocentric
-# stalks carry the rDNA repeats (NORs).
-_HET_STAINS = ("gpos25", "gpos33", "gpos50", "gpos66", "gpos75", "gpos100")
-STAIN_TO_CAT = {
-    **{stain: CytoCat.HET for stain in _HET_STAINS},
-    "acen": CytoCat.CEN,
-    "stalk": CytoCat.NOR,
-}
+#: Column layout of UCSC cytoBand.txt (goldenPath/hg38/database/cytoBand.txt.gz).
+BAND_COLUMNS = ("chrom", "start", "end", "name", "stain")
 
 
 def load_cyto_band(filename: str) -> pd.DataFrame:
-    return pd.read_csv(filename, **CYTO_BAND_FORMAT)
+    """Read a UCSC cytoBand table (tab-separated, headerless)."""
+    return pd.read_table(filename, header=None, names=list(BAND_COLUMNS))
 
 
-def _categories_for_chrom(starts, ends, bands: pd.DataFrame) -> np.ndarray:
-    """Category codes for one chromosome's bins given its band intervals.
+def _containing_band_codes(bins: pd.DataFrame, bands: pd.DataFrame) -> np.ndarray:
+    """Category code of the band fully containing each bin (0 when none).
 
-    Bands tile the chromosome without overlap, so the band containing a
-    bin's start is found by bisection; the bin must also end inside it.
+    Bands tile each chromosome without overlap, so the candidate band for a
+    bin is the last one starting at or before the bin's start; an as-of merge
+    keyed on ``start`` and grouped by chromosome finds it in one pass, and a
+    containment check on the end coordinate validates the hit.
     """
-    cats = np.full(starts.shape[0], CytoCat.NONE, dtype=object)
-    if not len(bands):
-        return cats
-    lo = bands["start"].to_numpy()
-    hi = bands["end"].to_numpy()
-    cat_codes = np.array(
-        [STAIN_TO_CAT.get(s, CytoCat.NONE) for s in bands["stain"]],
-        dtype=object,
+    lookup = bands.loc[:, ["chrom", "start", "end"]].copy()
+    lookup["code"] = np.array(
+        [_STAIN_CODES.get(s, 0) for s in bands["stain"]], dtype=np.int8
     )
-    k = np.searchsorted(lo, starts, side="right") - 1
-    k = np.clip(k, 0, len(lo) - 1)
-    contained = (starts >= lo[k]) & (ends <= hi[k])
-    cats[contained] = cat_codes[k[contained]]
-    return cats
+
+    probe = bins.loc[:, ["chrom", "start", "end"]].copy()
+    probe["order"] = np.arange(len(probe))
+
+    hits = pd.merge_asof(
+        probe.sort_values("start", kind="stable"),
+        lookup.sort_values("start", kind="stable"),
+        on="start",
+        by="chrom",
+        suffixes=("", "_band"),
+    ).sort_values("order", kind="stable")
+
+    contained = (hits["end"] <= hits["end_band"]).fillna(False).to_numpy()
+    codes = hits["code"].fillna(0).to_numpy(dtype=np.int8)
+    return np.where(contained, codes, np.int8(0))
 
 
 def attach_cyto_category(
@@ -76,41 +85,42 @@ def attach_cyto_category(
     band_table: pd.DataFrame,
     extend_nor: bool = False,
 ) -> pd.DataFrame:
-    """Return ``nci_table`` with a ``cat`` column of :class:`CytoCat`."""
-    out = nci_table.reset_index(drop=True).copy()
-    per_chrom_bands = dict(iter(band_table.groupby("chrom", sort=False)))
+    """Append a ``cat`` column of :class:`CytoCat` to an NCI bin table."""
+    result = nci_table.reset_index(drop=True).copy()
+    codes = _containing_band_codes(result, band_table)
+    result["cat"] = [CytoCat(int(c)) for c in codes]
 
-    pieces = []
-    for chrom, bins in out.groupby("chrom", sort=False):
-        bands = per_chrom_bands.get(chrom, band_table.iloc[0:0])
-        cats = _categories_for_chrom(
-            bins["start"].to_numpy(), bins["end"].to_numpy(), bands
-        )
-        if not (cats == CytoCat.CEN).any():
+    per_chrom_cen = pd.Series(codes == int(CytoCat.CEN)).groupby(
+        result["chrom"].to_numpy(), sort=False
+    )
+    for chrom, any_cen in per_chrom_cen.any().items():
+        if not any_cen:
             LOG.warning("No centromere was identified on %s", chrom)
-        pieces.append(pd.Series(cats, index=bins.index))
-    out["cat"] = pd.concat(pieces).sort_index() if pieces else []
-
-    if not (out["cat"] == CytoCat.NOR).any():
+    if not (codes == int(CytoCat.NOR)).any():
         LOG.warning("No NOR was identified")
 
-    return do_extend_nor(out) if extend_nor else out
+    return do_extend_nor(result) if extend_nor else result
 
 
 def do_extend_nor(table: pd.DataFrame) -> pd.DataFrame:
-    """Mark the whole p-arm as NOR on NOR-bearing chromosomes.
+    """Promote the whole p-arm to NOR on stalk-bearing chromosomes.
 
-    The rDNA stalk sits on the short arm of acrocentric chromosomes; the
-    model treats that entire arm (everything before the first centromeric
-    bin) as nucleolus-organizing when any stalk band was seen there.
+    The rDNA repeats sit on the short arm of the acrocentric chromosomes;
+    when any stalk band was seen before the centromere, the model treats
+    everything upstream of the first centromeric bin as nucleolus-organizing.
+    Implemented as two grouped scans: a cumulative max marks rows at or after
+    each chromosome's first centromere, and a grouped ``any`` finds p-arms
+    that carry a NOR.
     """
-    cat = table["cat"].to_numpy(dtype=object, copy=True)
-    chroms = table["chrom"].to_numpy()
-    for chrom in pd.unique(chroms):
-        rows = np.flatnonzero(chroms == chrom)
-        codes = cat[rows]
-        cen_hits = np.flatnonzero(codes == CytoCat.CEN)
-        arm_len = cen_hits[0] if len(cen_hits) else len(codes)
-        if (codes[:arm_len] == CytoCat.NOR).any():
-            cat[rows[:arm_len]] = CytoCat.NOR
-    return table.assign(cat=cat)
+    chrom_key = table["chrom"].to_numpy()
+    cat = pd.Series(table["cat"].to_numpy(object, copy=True))
+
+    past_cen = (cat == CytoCat.CEN).groupby(chrom_key, sort=False).cummax()
+    p_arm = ~past_cen
+    arm_has_nor = (
+        (p_arm & (cat == CytoCat.NOR))
+        .groupby(chrom_key, sort=False)
+        .transform("max")
+    )
+    cat[p_arm & arm_has_nor] = CytoCat.NOR
+    return table.assign(cat=cat.to_numpy())
