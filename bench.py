@@ -117,19 +117,68 @@ def _measure_variant(use_pallas, use_dense):
     raise RuntimeError("cell capacity overflow persisted after retries")
 
 
+def _bench_env():
+    env = dict(os.environ)
+    # Persistent compile cache: axon-tunnel compiles run ~minutes, and a
+    # variant retry (or a rerun of the whole bench) must not pay twice.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+    return env
+
+
+def _tpu_healthy(timeout_s=180):
+    """Run a trivial device computation in a throwaway subprocess.
+
+    The axon TPU tunnel wedges for minutes after a worker crash; a health
+    probe (instead of launching a 25-minute variant into a dead tunnel)
+    keeps the benchmark's wall clock bounded.
+    """
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "print('HEALTH', float(jnp.ones((8, 8)).sum()))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s, env=_bench_env(),
+        )
+        return "HEALTH 64.0" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_tpu(max_wait_s=900):
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < max_wait_s:
+        if _tpu_healthy():
+            return True
+        print("TPU unhealthy; waiting 60s for tunnel recovery", file=sys.stderr)
+        time.sleep(60)
+    return False
+
+
 def measure_tpu():
-    """Measure the fastest engine variant that works on this box.
+    """Measure engine variants and report the best one that works.
 
     Each variant runs in a subprocess with a hard timeout: the experimental
-    axon TPU tunnel has been observed to wedge on specific Mosaic compiles,
-    and a hang must cost a variant, not the whole benchmark.
+    axon TPU tunnel has been observed to wedge or crash on specific Mosaic
+    compiles, and a hang must cost a variant, not the whole benchmark.  The
+    reliable XLA dense-slab engine runs first to bank a valid number; the
+    Pallas kernel then gets one shot at beating it.
     """
     variants = [
-        ("pallas", True, True),
         ("dense-xla", False, True),
+        ("pallas", True, True),
         ("gather-xla", False, False),
     ]
+    best = None
     for name, use_pallas, use_dense in variants:
+        if best is not None and name == "gather-xla":
+            break  # gather engine is the slow fallback; skip once banked
+        if not _wait_for_tpu():
+            print("TPU did not recover; skipping remaining variants",
+                  file=sys.stderr)
+            break
         code = (
             "import sys, json; sys.path.insert(0, %r); import bench; "
             "bs, sp = bench._measure_variant(%r, %r); "
@@ -139,18 +188,24 @@ def measure_tpu():
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=1500,
+                capture_output=True, text=True, timeout=1800, env=_bench_env(),
             )
             for line in out.stdout.splitlines():
                 if line.startswith("BENCHRESULT "):
                     data = json.loads(line[len("BENCHRESULT "):])
                     print(f"variant {name}: {data['bead_steps']:.3g} bead-steps/s",
                           file=sys.stderr)
-                    return data["bead_steps"], data["steps"], name
-            print(f"variant {name} failed:\n{out.stderr[-2000:]}", file=sys.stderr)
+                    if best is None or data["bead_steps"] > best[0]:
+                        best = (data["bead_steps"], data["steps"], name)
+                    break
+            else:
+                print(f"variant {name} failed:\n{out.stderr[-2000:]}",
+                      file=sys.stderr)
         except subprocess.TimeoutExpired:
             print(f"variant {name} timed out", file=sys.stderr)
-    raise RuntimeError("all engine variants failed")
+    if best is None:
+        raise RuntimeError("all engine variants failed")
+    return best
 
 
 def measure_baseline():

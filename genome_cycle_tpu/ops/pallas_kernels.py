@@ -65,8 +65,8 @@ def plane_geometry(dims: Tuple[int, int, int]):
     return h0, plane_stride, cp
 
 
-def _kernel(params_ref, slab_hbm, out_ref, scratch, rolled_buf, facc, sem,
-            *, dims, m, chunk, jb):
+def _kernel(params_ref, slab_hbm, out_ref, scratch, rolled_buf, facc, staging,
+            sem, out_sem, *, dims, m, chunk, jb):
     """chunk = lane-chunk width (cells per inner loop step; must be a
     multiple of 128 — Mosaic only allows dynamic lane offsets it can prove
     are 128-aligned).  jb = j-side sublane block: pair temporaries are
@@ -179,9 +179,19 @@ def _kernel(params_ref, slab_hbm, out_ref, scratch, rolled_buf, facc, sem,
                 jax.lax.fori_loop(0, n_chunks, body, 0)
 
     # scratch[rx] is (6, M, PS): read the validity channel's own-plane tile.
+    # The result leaves through an HBM output buffer (out_specs = ANY): with
+    # a blocked VMEM out spec XLA allocates the FULL (3, M, Cp) result in
+    # scoped VMEM, which overflows its 16 MB limit at production grid sizes.
     valid = scratch[1, 5, :, h0 : h0 + plane_w]
-    out_ref[...] = jnp.zeros_like(out_ref)
-    out_ref[:, :, h0 : h0 + plane_w] = facc[:, :, :plane_w] * valid[None]
+    staging[...] = jnp.zeros_like(staging)
+    staging[:, :, h0 : h0 + plane_w] = facc[:, :, :plane_w] * valid[None]
+    copy_out = pltpu.make_async_copy(
+        staging,
+        out_ref.at[:, :, pl.ds((p + 1) * plane_stride, plane_stride)],
+        out_sem,
+    )
+    copy_out.start()
+    copy_out.wait()
 
 
 @functools.partial(
@@ -212,6 +222,14 @@ def ab_pair_forces_pallas(
     plane_w = _round_up(ny * nz, chunk)
     grid = (nx,)
     kernel = functools.partial(_kernel, dims=dims, m=m, chunk=chunk, jb=jb)
+    # Mosaic's default scoped-VMEM budget is 16 MB; the three resident
+    # planes plus pair temporaries exceed it at production capacity (m >=
+    # 96).  v5e/v5p cores have 128 MB of VMEM — raise the cap and keep the
+    # working set well under the physical limit via the jb block size.
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -219,16 +237,17 @@ def ab_pair_forces_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (3, m, plane_stride), lambda p: (0, 0, p + 1), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((3, m, cp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((3, 6, m, plane_stride), jnp.float32),
             pltpu.VMEM((6, m, plane_stride), jnp.float32),
             pltpu.VMEM((3, m, plane_w), jnp.float32),
+            pltpu.VMEM((3, m, plane_stride), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=compiler_params,
         interpret=interpret,
     )(params, slab)
 
