@@ -1,26 +1,31 @@
 """Build the chains.tsv simulation input from an NCI track + cytoBand file.
 
-Reference: src/annotate.py.  NCI scores are smoothed (centered rolling mean),
-z-scored with a median/MAD normalizer, and thresholded into A/B/u chromatin
-types with per-bead force parameters A=(1,0), B=(0,1), u=(.5,.5); cytoBand
-categories add anor/bnor/cen tags; the output is a diploid chain design with
-chrX/chrY special-casing (Xa normalized per-chromosome, Xb all-B = inactive
-X, chrY only as a :b copy).
+Pipeline parity with the reference tool (src/annotate.py): NCI scores are
+smoothed per chromosome (centered rolling mean), robust-z-scored against a
+median/MAD normalizer, and thresholded at ±tristate into A/B/u chromatin
+types with per-bead force parameters A=(1,0), B=(0,1), u=(.5,.5).  Cytoband
+categories contribute anor/bnor/cen tags and a fallback classification for
+bins with undefined NCI.  The emitted chain design is diploid with chrX/chrY
+special-casing: chrX:a is normalized against its own score distribution (the
+genome-wide normalizer excludes chrX), chrX:b is forced all-B to model the
+inactive X, and a chrY yields only a chrY:b copy (no Barr body then).
 
-Note: the reference's typing loop (annotate.py:78-90) is in a broken editing
-state — a stray duplicated line calls determine_chromatin_type without the
-required tags argument (a TypeError at runtime) and would override the
-tag-aware parameters with tag-blind ones.  We implement the evident intent
-(tag-aware typing used for both the tag and the parameters) and test it
-(SURVEY.md §2.10).
+Implementation notes (original to this framework): bead typing is fully
+vectorized — a numpy ``select`` over the z-score and category arrays replaces
+the reference's per-bead Python loops, and tag strings are composed by array
+concatenation.  The reference's typing loop (src/annotate.py:78-90) is also
+in a broken editing state: a stray duplicated line calls
+determine_chromatin_type without its required tags argument (TypeError at
+runtime) and would override tag-aware parameters with tag-blind ones.  We
+implement the evident intent — the tag-aware type drives both the tag letter
+and the parameters — and pin it with tests (SURVEY.md §2.10).
 """
 
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import enum
 import logging
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -29,116 +34,131 @@ from .common import invoke_main, remove_none
 from .cyto import CytoCat, attach_cyto_category, load_cyto_band
 
 LOG = logging.getLogger()
-NCI_FORMAT = dict(sep="\t")
+
+# Normalization schemes, per chain copy.
+SCHEME_GENOME = "genome-wide"
+SCHEME_OWN = "single-chrom"
+SCHEME_ALL_B = "all-b"
+
+# Chromatin type codes index these tables.
+TYPE_A, TYPE_B, TYPE_U = 0, 1, 2
+TYPE_LETTERS = np.array(["A", "B", "u"])
+TYPE_PARAMS = np.array([[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]])
+
+# Tag prefix per cytoband category (index = CytoCat code); NOR depends on
+# whether the chain's NOR is activated, filled in per chain.  "het" is
+# informational in the reference and dropped from its output, so it is never
+# emitted here.
+_CEN_TAG = "cen,"
 
 
-class AnnotScheme(enum.Enum):
-    GENOME_WIDE = 0
-    SINGLE_CHROM = 1
-    ALL_B = 2
-
-
-@dataclasses.dataclass
-class Chain:
+class ChainSpec(NamedTuple):
     name: str
     chrom: str
-    annot_scheme: AnnotScheme
+    scheme: str
     activate_nor: bool = False
 
 
-class ChromType(enum.Enum):
-    A = 1
-    B = 2
-    U = 3
+def plan_diploid_chains(
+    chrom_names: list[str], active_nor_patterns: list[str]
+) -> list[ChainSpec]:
+    """Two copies (:a then :b) of every autosome, with the sex-chromosome
+    rules above.  Order: all :a chains, then all :b chains."""
+    autosomes = [c for c in chrom_names if c not in ("chrX", "chrY")]
+    has_x = "chrX" in chrom_names
+    has_y = "chrY" in chrom_names
+
+    def wants_nor(name: str) -> bool:
+        return any(name.endswith(pat) for pat in active_nor_patterns)
+
+    plan: list[ChainSpec] = []
+    for copy in ("a", "b"):
+        for chrom in autosomes:
+            name = f"{chrom}:{copy}"
+            plan.append(ChainSpec(name, chrom, SCHEME_GENOME, wants_nor(name)))
+        if copy == "a" and has_x:
+            plan.append(ChainSpec("chrX:a", "chrX", SCHEME_OWN))
+        if copy == "b":
+            if has_y:
+                plan.append(ChainSpec("chrY:b", "chrY", SCHEME_GENOME))
+            elif has_x:
+                plan.append(ChainSpec("chrX:b", "chrX", SCHEME_ALL_B))
+    return plan
 
 
-CHROM_TYPE_HEURISTICS = {
-    "cen": ChromType.B,
-    "anor": ChromType.A,
-    "bnor": ChromType.B,
-}
-
-CHROM_TYPE_TAGS = {ChromType.A: "A", ChromType.B: "B", ChromType.U: "u"}
-
-CHROM_TYPE_PARAMETERS = {
-    ChromType.A: (1.0, 0.0),
-    ChromType.B: (0.0, 1.0),
-    ChromType.U: (0.5, 0.5),
-}
-
-
-def design_diploid_chains(chrom_names: list[str], active_nor_patterns: list[str]):
-    """Diploid chain list with chrX/chrY rules (annotate.py:145-209)."""
-    chains = []
-    normal_chroms = chrom_names.copy()
-    use_xa = use_xb = use_y = False
-
-    if "chrX" in chrom_names:
-        use_xa = use_xb = True
-        normal_chroms.remove("chrX")
-    if "chrY" in chrom_names:
-        use_xb = False
-        use_y = True
-        normal_chroms.remove("chrY")
-
-    for chrom in normal_chroms:
-        chain_name = chrom + ":a"
-        chains.append(
-            Chain(
-                name=chain_name,
-                chrom=chrom,
-                annot_scheme=AnnotScheme.GENOME_WIDE,
-                activate_nor=any(
-                    chain_name.endswith(pat) for pat in active_nor_patterns
-                ),
-            )
-        )
-    if use_xa:
-        chains.append(Chain("chrX:a", "chrX", AnnotScheme.SINGLE_CHROM))
-    for chrom in normal_chroms:
-        chain_name = chrom + ":b"
-        chains.append(
-            Chain(
-                name=chain_name,
-                chrom=chrom,
-                annot_scheme=AnnotScheme.GENOME_WIDE,
-                activate_nor=any(
-                    chain_name.endswith(pat) for pat in active_nor_patterns
-                ),
-            )
-        )
-    if use_xb:
-        chains.append(Chain("chrX:b", "chrX", AnnotScheme.ALL_B))
-    if use_y:
-        chains.append(Chain("chrY:b", "chrY", AnnotScheme.GENOME_WIDE))
-    return chains
-
-
-def determine_chromatin_type(z_score, tristate, tags) -> ChromType:
-    """Tag-aware typing (annotate.py:212-227): NaN score falls back to a
-    heuristic from the cytogenetic tags."""
-    if np.isnan(z_score):
-        return infer_chromatin_type(tags)
-    if z_score > tristate:
-        return ChromType.A
-    if z_score < -tristate:
-        return ChromType.B
-    return ChromType.U
-
-
-def infer_chromatin_type(tags) -> ChromType:
-    for key, typ in CHROM_TYPE_HEURISTICS.items():
-        if key in tags:
-            return typ
-    return ChromType.U
-
-
-def compute_normalizer(values: np.ndarray):
-    """Median center, MAD scale (annotate.py:230-234)."""
-    MAD_FACTOR = 1.4826
+def mad_normalizer(values: np.ndarray) -> tuple[float, float]:
+    """Robust location/scale: median center, MAD scaled to match a normal
+    distribution's standard deviation (1.4826 = 1/Φ⁻¹(3/4))."""
     center = np.nanmedian(values)
-    scale = np.nanmedian(np.abs(values - center)) * MAD_FACTOR
-    return center, scale
+    return center, 1.4826 * np.nanmedian(np.abs(values - center))
+
+
+def classify_beads(
+    z: np.ndarray, cat_codes: np.ndarray, activate_nor: bool, tristate: float
+) -> np.ndarray:
+    """Vectorized chromatin typing: threshold the z-score where it is
+    defined, fall back to the cytogenetic category where it is NaN
+    (centromere → B; NOR → A when activated else B; otherwise u)."""
+    scored = np.select([z > tristate, z < -tristate], [TYPE_A, TYPE_B], TYPE_U)
+    nor_type = TYPE_A if activate_nor else TYPE_B
+    fallback = np.select(
+        [cat_codes == int(CytoCat.CEN), cat_codes == int(CytoCat.NOR)],
+        [TYPE_B, nor_type],
+        TYPE_U,
+    )
+    return np.where(np.isnan(z), fallback, scored)
+
+
+def compose_tags(
+    cat_codes: np.ndarray, types: np.ndarray, activate_nor: bool
+) -> np.ndarray:
+    """Per-bead tag strings: optional category tag, then the type letter."""
+    nor_tag = ("anor," if activate_nor else "bnor,")
+    prefix = np.select(
+        [cat_codes == int(CytoCat.CEN), cat_codes == int(CytoCat.NOR)],
+        [_CEN_TAG, nor_tag],
+        "",
+    )
+    return np.char.add(prefix.astype(str), TYPE_LETTERS[types])
+
+
+def smooth_scores(scores: pd.Series, window: int) -> np.ndarray:
+    """Centered rolling mean with partial windows at chromosome edges."""
+    return scores.rolling(window=window, center=True, min_periods=1).mean().values
+
+
+def annotate_chain(
+    chain: ChainSpec,
+    track: pd.DataFrame,
+    genome_normalizer: tuple[float, float],
+    tristate: float,
+    smooth_window: int,
+) -> pd.DataFrame:
+    scores = smooth_scores(track["score"], smooth_window)
+    if chain.scheme == SCHEME_OWN:
+        center, scale = mad_normalizer(scores)
+    elif chain.scheme == SCHEME_ALL_B:
+        # -inf z-score forces B wherever the score is defined; NaN scores
+        # still take the cytogenetic fallback (reference semantics).
+        center, scale = np.inf, 1.0
+    else:
+        center, scale = genome_normalizer
+
+    with np.errstate(invalid="ignore"):
+        z = (scores - center) / scale
+    cat_codes = np.array([int(c) for c in track["cat"].values], dtype=np.int8)
+    types = classify_beads(z, cat_codes, chain.activate_nor, tristate)
+
+    return pd.DataFrame(
+        {
+            "chain": chain.name,
+            "start": track["start"].values,
+            "end": track["end"].values,
+            "A": TYPE_PARAMS[types, 0],
+            "B": TYPE_PARAMS[types, 1],
+            "tags": compose_tags(cat_codes, types, chain.activate_nor),
+        }
+    )
 
 
 def main(
@@ -151,75 +171,28 @@ def main(
     nci_filename: str,
     band_filename: str,
 ):
-    nci_table = pd.read_csv(nci_filename, **NCI_FORMAT)
+    nci_table = pd.read_csv(nci_filename, sep="\t")
     band_table = load_cyto_band(band_filename)
-    nci_cat_table = attach_cyto_category(nci_table, band_table, extend_nor=extend_nor)
+    beads = attach_cyto_category(nci_table, band_table, extend_nor=extend_nor)
 
-    chrom_names = list(nci_cat_table["chrom"].unique())
-    chains = design_diploid_chains(chrom_names, activate_nor)
+    chains = plan_diploid_chains(list(beads["chrom"].unique()), activate_nor)
 
-    exclude = ["chrX"]
-    basic_center, basic_scale = compute_normalizer(
-        nci_cat_table[~nci_cat_table["chrom"].isin(exclude)]["score"].values
+    # The genome-wide normalizer is computed on the raw (unsmoothed) scores
+    # of every chromosome except chrX, whose skewed distribution would bias
+    # the autosomal A/B threshold.
+    genome_normalizer = mad_normalizer(
+        beads.loc[beads["chrom"] != "chrX", "score"].values
     )
 
-    with open(output_filename, "w") as output:
-        need_header = True
-        for chain in chains:
-            nci_cat_track = nci_cat_table[nci_cat_table["chrom"] == chain.chrom]
-            chain_length = len(nci_cat_track)
-            cats = nci_cat_track["cat"].values
-            tags = [[] for _ in range(chain_length)]
-
-            for i in range(chain_length):
-                match cats[i]:
-                    case CytoCat.NOR:
-                        tags[i].append("anor" if chain.activate_nor else "bnor")
-                    case CytoCat.CEN:
-                        tags[i].append("cen")
-                    case CytoCat.HET:
-                        tags[i].append("het")
-
-            scores = (
-                nci_cat_track["score"]
-                .rolling(window=smooth_window, center=True, min_periods=1)
-                .mean()
-                .values
-            )
-            parameters = np.zeros((chain_length, 2))
-
-            match chain.annot_scheme:
-                case AnnotScheme.GENOME_WIDE:
-                    center, scale = basic_center, basic_scale
-                case AnnotScheme.SINGLE_CHROM:
-                    center, scale = compute_normalizer(scores)
-                case AnnotScheme.ALL_B:
-                    center, scale = np.inf, 1
-
-            for i in range(chain_length):
-                z_score = (scores[i] - center) / scale
-                chrom_type = determine_chromatin_type(z_score, tristate, tags[i])
-                tags[i].append(CHROM_TYPE_TAGS[chrom_type])
-                parameters[i] = CHROM_TYPE_PARAMETERS[chrom_type]
-                # "het" is informational only; drop it from the output.
-                if "het" in tags[i]:
-                    tags[i].remove("het")
-
-            track = pd.DataFrame(
-                {
-                    "chain": chain.name,
-                    "start": nci_cat_track["start"].values,
-                    "end": nci_cat_track["end"].values,
-                    "A": parameters[:, 0],
-                    "B": parameters[:, 1],
-                    "tags": [",".join(t) for t in tags],
-                }
-            )
-            track.to_csv(
-                output, sep="\t", float_format="%g", index=False, header=need_header
-            )
-            need_header = False
-            output.flush()
+    by_chrom = {chrom: grp for chrom, grp in beads.groupby("chrom", sort=False)}
+    tracks = [
+        annotate_chain(
+            chain, by_chrom[chain.chrom], genome_normalizer, tristate, smooth_window
+        )
+        for chain in chains
+    ]
+    table = pd.concat(tracks, ignore_index=True)
+    table.to_csv(output_filename, sep="\t", float_format="%g", index=False)
 
 
 def parse_args() -> dict:

@@ -218,6 +218,21 @@ class Cooler:
     def matrix(self, balance=True):
         return _MatrixSelector(self, balance)
 
+    def pixel_slice(self, r0: int, r1: int):
+        """(bin1, bin2, count) arrays for pixels whose bin1 lies in [r0, r1).
+
+        Upper-triangular pixels are sorted by bin1, so this is a single
+        contiguous HDF5 read via the bin1_offset index — no dense matrix."""
+        lo = int(self._bin1_offset[r0])
+        hi = int(self._bin1_offset[r1])
+        with h5py.File(self._path, "r") as f:
+            grp = f[self._group]
+            return (
+                grp["pixels/bin1_id"][lo:hi],
+                grp["pixels/bin2_id"][lo:hi],
+                grp["pixels/count"][lo:hi],
+            )
+
     def _fetch_dense(self, r0, r1, c0, c1, balance):
         with h5py.File(self._path, "r") as f:
             grp = f[self._group]

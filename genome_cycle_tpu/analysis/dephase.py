@@ -1,9 +1,16 @@
 """Diploid -> haploid contact-map aggregation.
 
-Reference: src/dephase.py.  Chain names "chrN:a"/"chrN:b" map onto one
-haploid "chrN"; superposed pixels merge by summation; the virtual "nucleoli"
-chain is dropped; the result is re-balanced.  The reference's duckdb SQL
-joins are replaced with vectorized numpy interval mapping.
+Output parity with the reference tool (src/dephase.py): chain names
+"chrN:a"/"chrN:b" fold onto one haploid "chrN" (each chain's k-th bin onto
+the chromosome's k-th bin), superposed pixels merge by summation, the virtual
+"nucleoli" chain is dropped, unrecognized chain names are skipped with a
+warning, and the result is re-balanced unless --no-balancing.
+
+The machinery is original: where the reference runs duckdb SQL interval
+joins per pixel chunk (and our earlier revision a searchsorted interval
+lookup), this version precomputes a single dense per-bin projection table
+``haploid_id[diploid_bin] -> int`` (-1 for dropped bins) with two grouped
+pandas scans, so dephasing a pixel chunk is one fancy-index gather per side.
 """
 
 from __future__ import annotations
@@ -22,81 +29,79 @@ VIRTUAL_CHAINS = {"nucleoli"}
 CHUNK_SIZE = 5_000_000
 
 
-def infer_chromosome_copies(chain_names: list[str]) -> dict[str, list[str]]:
-    chrom_copies: dict[str, list[str]] = {}
-    for chain_name in chain_names:
-        match chain_name.split(":"):
-            case [chrom, suffix]:
-                chrom_copies.setdefault(chrom, []).append(suffix)
-            case _:
-                LOG.warning("Skipping unrecognized chain: %s", chain_name)
-    return chrom_copies
+def split_chain_names(names: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Chain name column -> (chromosome prefix, copy suffix); suffix is NaN
+    for names without a ':' separator (those are not chain copies)."""
+    parts = names.astype(str).str.split(":", n=1, expand=True)
+    if parts.shape[1] < 2:
+        parts[1] = np.nan
+    return parts[0], parts[1]
 
 
-def make_output_bins(input_bins, chrom_copies):
-    canon = {f"{chrom}:{sufs[0]}": chrom for chrom, sufs in chrom_copies.items()}
+def project_bins(
+    input_bins: pd.DataFrame, virtual: set[str] = VIRTUAL_CHAINS
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Compile the haploid bin table and the dense diploid->haploid bin-id
+    projection.
+
+    The haploid chromosome layout is the canonical (first-seen) copy of each
+    chromosome, in input order, relabeled without its suffix.  Every other
+    copy projects positionally: its k-th bin lands on the chromosome's k-th
+    bin.  Virtual and unrecognized chains project to -1.
+    """
+    names = input_bins["chrom"].astype(str)
+    chroms, suffixes = split_chain_names(names)
+    mappable = suffixes.notna() & ~names.isin(virtual)
+
+    for name in names[~mappable].unique():
+        if name not in virtual:
+            LOG.warning("Skipping unrecognized chain: %s", name)
+
+    # Canonical copy per chromosome = the first chain carrying it.
+    chain_order = list(dict.fromkeys(names[mappable]))
+    canonical: dict[str, str] = {}
+    for chain in chain_order:
+        canonical.setdefault(chain.split(":", 1)[0], chain)
+
+    is_canonical = names.isin(set(canonical.values()))
     output_bins = (
-        input_bins[input_bins["chrom"].isin(canon)]
+        input_bins.loc[is_canonical]
+        .assign(chrom=chroms[is_canonical])
         .reset_index(drop=True)
-        .replace({"chrom": canon})
     )
-    return output_bins
+
+    # First haploid bin id of each chromosome.
+    chrom_first = (
+        pd.Series(np.arange(len(output_bins)), index=output_bins["chrom"])
+        .groupby(level=0, sort=False)
+        .min()
+    )
+    # Positional offset of each diploid bin within its chain.
+    within_chain = input_bins.groupby(names, sort=False).cumcount().to_numpy()
+
+    base = chroms.map(chrom_first).to_numpy(dtype=float)
+    projection = np.where(
+        mappable.to_numpy() & np.isfinite(base),
+        np.nan_to_num(base, nan=0.0).astype(np.int64) + within_chain,
+        -1,
+    ).astype(np.int64)
+    return output_bins, projection
 
 
-def make_mapping(input_bins, output_bins, chrom_copies) -> pd.DataFrame:
-    """Rows of (chrom_start, chrom_end, chain_start, chain_end) bin-id ranges
-    mapping each diploid chain onto its haploid chromosome range."""
-    records = []
-
-    def chrom_range(bins, name):
-        idx = bins.index[bins["chrom"] == name]
-        return int(idx[0]), int(idx[-1]) + 1
-
-    for chrom, suffixes in chrom_copies.items():
-        chrom_start, chrom_end = chrom_range(output_bins, chrom)
-        for suffix in suffixes:
-            chain_start, chain_end = chrom_range(input_bins, f"{chrom}:{suffix}")
-            records.append(
-                {
-                    "chrom_start": chrom_start,
-                    "chrom_end": chrom_end,
-                    "chain_start": chain_start,
-                    "chain_end": chain_end,
-                }
-            )
-    return pd.DataFrame.from_records(records)
-
-
-def _map_bin_ids(bin_ids: np.ndarray, mapping: pd.DataFrame) -> np.ndarray:
-    """Map diploid bin ids to haploid ids; -1 for unmapped (virtual) bins."""
-    starts = mapping["chain_start"].to_numpy()
-    ends = mapping["chain_end"].to_numpy()
-    chrom_starts = mapping["chrom_start"].to_numpy()
-    order = np.argsort(starts)
-    starts_sorted = starts[order]
-    row = np.searchsorted(starts_sorted, bin_ids, side="right") - 1
-    row = np.clip(row, 0, len(starts) - 1)
-    rows = order[row]
-    mapped = bin_ids - starts[rows] + chrom_starts[rows]
-    ok = (bin_ids >= starts[rows]) & (bin_ids < ends[rows])
-    return np.where(ok, mapped, -1)
-
-
-def dephase_pixels(clr: Cooler, mapping: pd.DataFrame, chunk_size: int):
+def dephase_pixels(clr: Cooler, projection: np.ndarray, chunk_size: int):
+    """Gather both pixel endpoints through the projection table; drop pixels
+    touching unmapped bins; restore upper-triangular orientation."""
     pixels = clr.pixels()[:]
-    n_pixels = len(pixels)
-    LOG.info("Dephasing %d pixels", n_pixels)
-    for chunk_start in range(0, n_pixels, chunk_size):
+    LOG.info("Dephasing %d pixels", len(pixels))
+    for chunk_start in range(0, len(pixels), chunk_size):
         chunk = pixels.iloc[chunk_start : chunk_start + chunk_size]
-        b1 = _map_bin_ids(chunk["bin1_id"].to_numpy(), mapping)
-        b2 = _map_bin_ids(chunk["bin2_id"].to_numpy(), mapping)
+        b1 = projection[chunk["bin1_id"].to_numpy()]
+        b2 = projection[chunk["bin2_id"].to_numpy()]
         keep = (b1 >= 0) & (b2 >= 0)
-        lo = np.minimum(b1[keep], b2[keep])
-        hi = np.maximum(b1[keep], b2[keep])
         yield pd.DataFrame(
             {
-                "bin1_id": lo,
-                "bin2_id": hi,
+                "bin1_id": np.minimum(b1[keep], b2[keep]),
+                "bin2_id": np.maximum(b1[keep], b2[keep]),
                 "count": chunk["count"].to_numpy()[keep],
             }
         )
@@ -105,26 +110,22 @@ def dephase_pixels(clr: Cooler, mapping: pd.DataFrame, chunk_size: int):
 def main(*, output: str, input: str, no_balancing: bool = False):
     LOG.info("Opening cool dataset: %s", input)
     clr = Cooler(input)
-    chrom_copies = infer_chromosome_copies(
-        [name for name in clr.chromnames if name not in VIRTUAL_CHAINS]
-    )
-    LOG.info("Inferred chromosomes: %s", ", ".join(chrom_copies))
-
     input_bins = clr.bins()[:]
-    output_bins = make_output_bins(input_bins, chrom_copies)
-    mapping = make_mapping(input_bins, output_bins, chrom_copies)
+    output_bins, projection = project_bins(input_bins)
+    LOG.info(
+        "Inferred chromosomes: %s", ", ".join(output_bins["chrom"].unique())
+    )
     LOG.info("Bins reduced: %d -> %d", len(input_bins), len(output_bins))
 
     create_cooler(
         output,
         output_bins,
-        dephase_pixels(clr, mapping, CHUNK_SIZE),
+        dephase_pixels(clr, projection, CHUNK_SIZE),
         assembly=clr.info.get("genome-assembly"),
     )
-    output_clr = Cooler(output)
     if not no_balancing:
         LOG.info("Balancing contact matrix")
-        balance_cooler(output_clr, store=True)
+        balance_cooler(Cooler(output), store=True)
 
 
 def parse_args() -> dict:

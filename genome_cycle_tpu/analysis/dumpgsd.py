@@ -1,8 +1,18 @@
 """Trajectory .h5 -> GSD/HOOMD visualization file (OVITO-compatible).
 
-Reference: src/dumpgsd.py.  Per-stage topology decorators add spindle-pole
-pseudo-particles and microtubule/nucleolar pseudo-bonds; chain backbones
-become "chrom" bonds; the box is fixed at (100, 100, 100).
+Output parity with the reference tool (src/dumpgsd.py): chain backbones
+become "chrom" bonds, spindle poles appear as pseudo-particles of type
+"spindle_pole" (one in anaphase at the configured spindle shift, two in
+prometaphase at the stored pole positions) wired to the kinetochores by
+"microtubule" pseudo-bonds, interphase/relaxation frames carry "nucleolus"
+pseudo-bonds, and the box is fixed at (100, 100, 100).
+
+The implementation is data-driven rather than the reference's per-stage
+decorator class hierarchy: a single :func:`build_scene` compiles the stage's
+static topology (type table, backbone + pseudo bond arrays, pseudo-particle
+positions) with vectorized numpy index math, and the frame loop just streams
+positions through it.  GSD container IO lives in :mod:`gsdio` (original
+format implementation).
 """
 
 from __future__ import annotations
@@ -10,7 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import typing
+from typing import NamedTuple
 
 import h5py
 import numpy as np
@@ -20,134 +30,130 @@ from .gsdio import GSDWriter, write_hoomd_frame
 
 LOG = logging.getLogger()
 DEFAULT_BOX = (100.0, 100.0, 100.0, 0.0, 0.0, 0.0)
-DIMENSION = 3
+
+#: stage name -> kind of pseudo-topology it carries
+_STAGE_EXTRAS = {
+    "anaphase": "one-pole",
+    "telophase": None,
+    "relaxation": "nucleolus",
+    "interphase": "nucleolus",
+    "prometaphase": "two-poles",
+}
 
 
-class ParticlesData(typing.NamedTuple):
-    type_ids: list
-    type_names: list
+class Scene(NamedTuple):
+    """Static per-stage visualization topology; only positions vary per frame."""
+
+    extra_positions: np.ndarray  # (P, 3) pseudo-particle coordinates
+    type_ids: np.ndarray  # (N + P,) uint32
+    type_names: list[str]
+    bond_pairs: np.ndarray  # (B, 2) uint32
+    bond_type_ids: np.ndarray  # (B,) uint32
+    bond_type_names: list[str]
 
 
-class BondsData(typing.NamedTuple):
-    pairs: list
-    type_ids: list
-    type_names: list
+def backbone_bonds(chain_ranges: np.ndarray) -> np.ndarray:
+    """(i, i+1) bond rows for every chain's bead range, vectorized."""
+    segments = [
+        np.stack([np.arange(s, e - 1), np.arange(s + 1, e)], axis=1)
+        for s, e in np.asarray(chain_ranges, np.int64)
+    ]
+    return (
+        np.concatenate(segments) if segments else np.zeros((0, 2), np.int64)
+    )
 
 
-class TopologyMod:
-    def derive_extra_particles(self, metadata, next_id: int) -> ParticlesData:
-        return ParticlesData([], [])
-
-    def derive_extra_bonds(self, metadata, next_id: int) -> BondsData:
-        return BondsData([], [], [])
-
-    def derive_extra_positions(self, snapshot) -> np.ndarray:
-        return np.zeros(shape=(0, DIMENSION))
+def stored_type_table(metadata) -> tuple[np.ndarray, list[str]]:
+    """Bead type ids + names recovered from the HDF5 enum dtype."""
+    enum = h5py.check_enum_dtype(metadata["particle_types"].dtype) or {}
+    names = [name for name, _ in sorted(enum.items(), key=lambda kv: kv[1])]
+    return np.asarray(metadata["particle_types"][:], np.uint32), names
 
 
-class AnaphaseMod(TopologyMod):
-    """Single spindle pole + microtubule bonds to every kinetochore
-    (dumpgsd.py:70-90)."""
+def build_scene(stage: str, metadata, config: dict) -> Scene:
+    if stage not in _STAGE_EXTRAS:
+        raise ValueError(f"unknown stage: {stage}")
+    extras = _STAGE_EXTRAS[stage]
 
-    def __init__(self, config: dict):
-        self._pole_position = config["mitotic_phase"]["anaphase_spindle_shift"]
+    bead_types, type_names = stored_type_table(metadata)
+    n_beads = len(bead_types)
 
-    def derive_extra_particles(self, metadata, next_id):
-        return ParticlesData(type_ids=[next_id], type_names=["spindle_pole"])
+    extra_positions = np.zeros((0, 3))
+    pseudo_pairs = np.zeros((0, 2), np.int64)
+    pseudo_bond_name = None
 
-    def derive_extra_bonds(self, metadata, next_id):
-        pole_index = len(metadata["particle_types"])
-        pairs = [(int(i), pole_index) for i in metadata["kinetochore_beads"]]
-        return BondsData(pairs, [next_id] * len(pairs), ["microtubule"])
+    if extras == "one-pole":
+        # Single spindle pole; every kinetochore is pulled toward it.
+        extra_positions = np.reshape(
+            config["mitotic_phase"]["anaphase_spindle_shift"], (1, 3)
+        ).astype(float)
+        kinetochores = np.asarray(metadata["kinetochore_beads"][:], np.int64)
+        pseudo_pairs = np.stack(
+            [kinetochores, np.full(len(kinetochores), n_beads)], axis=1
+        )
+        pseudo_bond_name = "microtubule"
+    elif extras == "two-poles":
+        # Column k of sister_chromatids attaches to pole k.
+        extra_positions = np.asarray(metadata["pole_positions"][:], float)
+        kinetochores = np.asarray(metadata["kinetochore_beads"][:], np.int64)
+        sisters = np.asarray(metadata["sister_chromatids"][:], np.int64)
+        attach = kinetochores[sisters]  # (C, 2)
+        poles = n_beads + np.arange(2, dtype=np.int64)
+        pseudo_pairs = np.stack(
+            [attach, np.broadcast_to(poles, attach.shape)], axis=2
+        ).reshape(-1, 2)
+        pseudo_bond_name = "microtubule"
+    elif extras == "nucleolus":
+        pseudo_pairs = np.asarray(metadata["nucleolar_bonds"][:], np.int64).reshape(
+            -1, 2
+        )
+        pseudo_bond_name = "nucleolus"
 
-    def derive_extra_positions(self, snapshot):
-        return np.reshape(self._pole_position, (1, DIMENSION))
-
-
-class InterphaseMod(TopologyMod):
-    """Nucleolar pseudo-bonds (dumpgsd.py:93-100)."""
-
-    def derive_extra_bonds(self, metadata, next_id):
-        nucleolar_bonds = [(int(i), int(j)) for i, j in metadata["nucleolar_bonds"]]
-        return BondsData(
-            nucleolar_bonds, [next_id] * len(nucleolar_bonds), ["nucleolus"]
+    n_extra = len(extra_positions)
+    if n_extra:
+        pole_type = len(type_names)
+        type_names = type_names + ["spindle_pole"]
+        bead_types = np.concatenate(
+            [bead_types, np.full(n_extra, pole_type, np.uint32)]
         )
 
+    chrom_pairs = backbone_bonds(metadata["chain_ranges"][:])
+    bond_type_names = ["chrom"]
+    bond_type_ids = np.zeros(len(chrom_pairs), np.uint32)
+    bond_pairs = chrom_pairs
+    if pseudo_bond_name is not None:
+        bond_type_names.append(pseudo_bond_name)
+        bond_pairs = np.concatenate([chrom_pairs, pseudo_pairs])
+        bond_type_ids = np.concatenate(
+            [bond_type_ids, np.ones(len(pseudo_pairs), np.uint32)]
+        )
 
-class PrometaphaseMod(TopologyMod):
-    """Two poles + microtubules per sister pair (dumpgsd.py:103-130)."""
-
-    def __init__(self, metadata):
-        self._pole_positions = metadata["pole_positions"][:]
-
-    def derive_extra_particles(self, metadata, next_id):
-        return ParticlesData([next_id, next_id], ["spindle_pole"])
-
-    def derive_extra_bonds(self, metadata, next_id):
-        pole_a = len(metadata["particle_types"])
-        pole_b = pole_a + 1
-        kinetochores = metadata["kinetochore_beads"][:]
-        pairs = []
-        for chrom_a, chrom_b in metadata["sister_chromatids"]:
-            pairs.append((int(kinetochores[chrom_a]), pole_a))
-            pairs.append((int(kinetochores[chrom_b]), pole_b))
-        return BondsData(pairs, [next_id] * len(pairs), ["microtubule"])
-
-    def derive_extra_positions(self, snapshot):
-        return self._pole_positions
-
-
-def define_linear_bonds(start: int, end: int):
-    return list(zip(range(start, end - 1), range(start + 1, end)))
-
-
-def derive_particles(metadata, mod: TopologyMod) -> ParticlesData:
-    stored_types = metadata["particle_types"][:]
-    enum = h5py.check_enum_dtype(metadata["particle_types"].dtype) or {}
-    stored_type_names = [
-        name for name, _tid in sorted(enum.items(), key=lambda kv: kv[1])
-    ]
-    extra = mod.derive_extra_particles(metadata, next_id=len(stored_type_names))
-    return ParticlesData(
-        type_ids=(list(stored_types) + extra.type_ids),
-        type_names=(stored_type_names + extra.type_names),
+    return Scene(
+        extra_positions=extra_positions,
+        type_ids=bead_types,
+        type_names=type_names,
+        bond_pairs=bond_pairs.astype(np.uint32),
+        bond_type_ids=bond_type_ids,
+        bond_type_names=bond_type_names,
     )
 
 
-def derive_bonds(metadata, mod: TopologyMod) -> BondsData:
-    chain_ranges = metadata["chain_ranges"][:]
-    stored_pairs = sum(
-        (define_linear_bonds(int(s), int(e)) for s, e in chain_ranges), []
-    )
-    extra = mod.derive_extra_bonds(metadata, next_id=1)
-    return BondsData(
-        pairs=(stored_pairs + extra.pairs),
-        type_ids=([0] * len(stored_pairs) + extra.type_ids),
-        type_names=(["chrom"] + extra.type_names),
-    )
-
-
-def dump_trajectory(stage_store, writer: GSDWriter, mod: TopologyMod):
-    metadata = stage_store["metadata"]
-    particles = derive_particles(metadata, mod)
-    bonds = derive_bonds(metadata, mod)
-
-    for step in stage_store[".steps"]:
-        step = step.decode() if isinstance(step, bytes) else str(step)
-        snapshot = stage_store[step]
-        stored = snapshot["positions"][:]
-        extra = mod.derive_extra_positions(snapshot)
-        positions = np.concatenate([stored, extra])
+def dump_trajectory(stage_store, writer: GSDWriter, scene: Scene):
+    for raw in stage_store[".steps"]:
+        step = raw.decode() if isinstance(raw, bytes) else str(raw)
+        positions = np.concatenate(
+            [stage_store[step]["positions"][:], scene.extra_positions]
+        )
         write_hoomd_frame(
             writer,
             step=int(step),
             box=DEFAULT_BOX,
             positions=positions,
-            type_ids=np.asarray(particles.type_ids, np.uint32),
-            type_names=particles.type_names,
-            bond_pairs=np.asarray(bonds.pairs, np.uint32).reshape(-1, 2),
-            bond_type_ids=np.asarray(bonds.type_ids, np.uint32),
-            bond_type_names=bonds.type_names,
+            type_ids=scene.type_ids,
+            type_names=scene.type_names,
+            bond_pairs=scene.bond_pairs.reshape(-1, 2),
+            bond_type_ids=scene.bond_type_ids,
+            bond_type_names=scene.bond_type_names,
         )
 
 
@@ -159,20 +165,10 @@ def main(*, input_filename: str, output_filename: str, stage: str = "interphase"
                 + ", ".join(sorted(store["stages"]))
             )
         stage_store = store["stages"][stage]
-        stage_metadata = stage_store["metadata"]
         config = json.loads(store["metadata"]["config"][()])
+        scene = build_scene(stage, stage_store["metadata"], config)
         with GSDWriter(output_filename) as writer:
-            match stage:
-                case "anaphase":
-                    dump_trajectory(stage_store, writer, AnaphaseMod(config))
-                case "telophase":
-                    dump_trajectory(stage_store, writer, TopologyMod())
-                case "relaxation" | "interphase":
-                    dump_trajectory(stage_store, writer, InterphaseMod())
-                case "prometaphase":
-                    dump_trajectory(stage_store, writer, PrometaphaseMod(stage_metadata))
-                case _:
-                    raise ValueError(f"unknown stage: {stage}")
+            dump_trajectory(stage_store, writer, scene)
             LOG.info("Wrote %d frames", writer.nframes)
 
 

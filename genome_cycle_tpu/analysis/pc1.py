@@ -1,9 +1,20 @@
 """Compartment (PC1) profile from a contact matrix.
 
-Reference: src/pc1.py + src/pkg/pc1/math.py.  Pipeline: cooler matrix ->
-O/E normalization (per-diagonal cis expected, scalar trans expected) ->
-column standardization -> power-iteration SVD for the first right singular
-vector -> PC1 scaled so its variance equals the explained-variance ratio.
+Pipeline parity with the reference tool (src/pc1.py + src/pkg/pc1/math.py):
+cooler matrix -> observed/expected normalization (per-separation cis
+expected, scalar trans expected) -> column standardization -> power-iteration
+for the first right singular vector -> PC1 scaled so its variance equals the
+explained-variance ratio; same TSV/JSON outputs and CLI flags.
+
+The numerics are implemented differently: the per-separation expected profile
+is accumulated with one ``bincount`` over a |i-j| separation grid per
+chromosome block (the reference loops over ``np.diag`` calls, one per
+diagonal), O/E division is a single vectorized gather through the same grid,
+and the power iteration is a plain convergence loop rather than a generator
+protocol.  Robustness additions over the reference: zero-variance columns are
+dropped before standardization, scattered non-finite entries are
+mean-imputed after centering (sparse simulated matrices hit both paths), and
+a max-iteration cap guards the iteration.
 """
 
 from __future__ import annotations
@@ -11,7 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import typing
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -24,91 +35,98 @@ MATRIX_FORMAT = dict(dtype=np.float32, order="C")
 OUTPUT_FORMAT = dict(sep="\t", float_format="%g", na_rep="nan", index=False)
 
 
-class SVDStep(typing.NamedTuple):
-    step: int
-    vector: np.ndarray
-    delta: float
+def leading_singular_vector(
+    data: np.ndarray, *, tol: float = 1e-4, max_iters: int = 10_000
+) -> tuple[np.ndarray, int, float]:
+    """First right singular vector of ``data`` by power iteration on the
+    Gram operator v -> normalize(Dᵀ(Dv)); NaN-tolerant via nansum.  Returns
+    (vector, iterations, final max-abs step delta)."""
+    dim = data.shape[1]
+    vec = np.ones(dim, dtype=data.dtype) / np.sqrt(dim)
+    delta = np.inf
+    for step in range(1, max_iters + 1):
+        weights = data @ vec
+        nxt = np.nansum(weights[:, None] * data, axis=0)
+        nxt /= np.linalg.norm(nxt)
+        delta = float(np.abs(nxt - vec).max())
+        vec = nxt
+        if delta < tol:
+            break
+    return vec, step, delta
 
 
-def power_svd(data: np.ndarray, init=None):
-    """First right singular vector by power iteration (pkg/pc1/math.py:12-37),
-    NaN-tolerant like the reference (nansum in the iteration)."""
-    step = 0
-    if init is not None:
-        prev = init
-    else:
-        dim = data.shape[1]
-        prev = np.ones(dim, dtype=data.dtype) / np.sqrt(dim)
-    while True:
-        weights = data @ prev
-        vec = np.nansum(weights[:, None] * data, axis=0)
-        vec = vec / np.linalg.norm(vec)
-        step += 1
-        yield SVDStep(step=step, vector=vec, delta=np.abs(vec - prev).max())
-        prev = vec
+class OEProfile(NamedTuple):
+    """Expected contact frequencies: per-separation within a chromosome,
+    one scalar across chromosomes."""
+
+    cis_by_separation: np.ndarray
+    trans_mean: float
 
 
-class ContactPatch(typing.NamedTuple):
-    chrom: str
-    rows: np.ndarray
-    trans_1: np.ndarray
-    trans_2: np.ndarray
-    cis: np.ndarray
+def _separations(n: int) -> np.ndarray:
+    """(n, n) grid of genomic separations |i - j|."""
+    idx = np.arange(n)
+    return np.abs(idx[:, None] - idx[None, :])
 
 
-def scan_chrom_rows(contact_matrix: np.ndarray, chrom_ranges: dict):
-    for chrom, (start, end) in chrom_ranges.items():
-        rows = contact_matrix[start:end]
-        yield ContactPatch(
-            chrom=chrom,
-            rows=rows,
-            trans_1=rows[:, :start],
-            trans_2=rows[:, end:],
-            cis=rows[:, start:end],
+def estimate_expected(matrix: np.ndarray, chrom_ranges: dict) -> OEProfile:
+    """Mean finite contact per separation (cis, upper triangle once) and the
+    scalar mean over all finite trans pixels, in one vectorized pass per
+    chromosome block."""
+    max_sep = max(end - start for start, end in chrom_ranges.values())
+    cis_sum = np.zeros(max_sep)
+    cis_cnt = np.zeros(max_sep)
+    trans_sum = 0.0
+    trans_cnt = 0
+
+    for start, end in chrom_ranges.values():
+        rows = matrix[start:end]
+        cis = rows[:, start:end]
+        n = end - start
+
+        sep = _separations(n)
+        keep = np.isfinite(cis) & (sep >= 0) & np.triu(np.ones((n, n), bool))
+        cis_sum += np.bincount(
+            sep[keep], weights=cis[keep].astype(np.float64), minlength=max_sep
         )
+        cis_cnt += np.bincount(sep[keep], minlength=max_sep)
 
-
-class ExpectedContacts(typing.NamedTuple):
-    intra: np.ndarray
-    inter: float
-
-
-def valid_sum(vec: np.ndarray):
-    valid = np.isfinite(vec)
-    return vec[valid].sum(), valid.sum()
-
-
-def estimate_expected_contacts(contact_matrix, chrom_ranges) -> ExpectedContacts:
-    """Per-separation cis expected + scalar trans expected
-    (src/pc1.py:156-183)."""
-    max_separation = max(end - start for start, end in chrom_ranges.values())
-    inter_sum = 0.0
-    inter_count = 0
-    intra_sums = np.zeros(max_separation, dtype=contact_matrix.dtype)
-    intra_counts = np.zeros(max_separation, dtype=contact_matrix.dtype)
-
-    for patch in scan_chrom_rows(contact_matrix, chrom_ranges):
-        sum_1, count_1 = valid_sum(patch.trans_1)
-        sum_2, count_2 = valid_sum(patch.trans_2)
-        inter_sum += sum_1 + sum_2
-        inter_count += count_1 + count_2
-        for s in range(len(patch.cis)):
-            diag = np.diag(patch.cis, s)
-            d_sum, d_count = valid_sum(diag)
-            intra_sums[s] += d_sum
-            intra_counts[s] += d_count
+        # Trans pixels of this row block = all finite entries outside the
+        # cis square (counted once per orientation, like a full-row scan).
+        row_ok = np.isfinite(rows)
+        trans_sum += float(rows[row_ok].sum()) - float(cis[np.isfinite(cis)].sum())
+        trans_cnt += int(row_ok.sum()) - int(np.isfinite(cis).sum())
 
     with np.errstate(invalid="ignore", divide="ignore"):
-        return ExpectedContacts(
-            intra=(intra_sums / intra_counts),
-            inter=float(inter_sum / inter_count) if inter_count else np.nan,
-        )
+        cis_mean = (cis_sum / cis_cnt).astype(matrix.dtype)
+    return OEProfile(
+        cis_by_separation=cis_mean,
+        trans_mean=(trans_sum / trans_cnt) if trans_cnt else np.nan,
+    )
 
 
-def unselect_vector(vector, selection, placeholder=np.nan):
-    result = np.full(len(selection), placeholder, dtype=vector.dtype)
-    result[np.arange(len(result))[selection]] = vector
-    return result
+def oe_normalize(
+    matrix: np.ndarray, chrom_ranges: dict, profile: OEProfile, mask_intra: bool
+) -> None:
+    """In-place observed/expected division (cis by the separation profile via
+    one gathered divide per block, trans by the scalar)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for start, end in chrom_ranges.values():
+            rows = matrix[start:end]
+            rows[:, :start] /= profile.trans_mean
+            rows[:, end:] /= profile.trans_mean
+            cis = rows[:, start:end]
+            if mask_intra:
+                cis[np.isfinite(cis)] = 1
+            else:
+                cis /= profile.cis_by_separation[_separations(end - start)]
+
+
+def scatter_to_full(values: np.ndarray, mask: np.ndarray, fill=np.nan) -> np.ndarray:
+    """Place ``values`` at the True positions of ``mask``; ``fill`` elsewhere."""
+    out = np.full(mask.shape, fill, dtype=values.dtype)
+    out[mask] = values
+    return out
 
 
 def compute_pc1(
@@ -121,20 +139,9 @@ def compute_pc1(
     max_iters: int = 10_000,
 ):
     """Core O/E + PC1 computation; returns (pc1, ev1, evr, expected)."""
-    expected = estimate_expected_contacts(contact_matrix, chrom_ranges)
+    expected = estimate_expected(contact_matrix, chrom_ranges)
     data_matrix = contact_matrix
-
-    for patch in scan_chrom_rows(data_matrix, chrom_ranges):
-        patch.trans_1[...] /= expected.inter
-        patch.trans_2[...] /= expected.inter
-        if mask_intra:
-            patch.cis[np.isfinite(patch.cis)] = 1
-        else:
-            cis_size = len(patch.cis)
-            for k in range(-cis_size + 1, cis_size):
-                diag = np.diagonal(patch.cis, k)
-                diag.setflags(write=True)
-                diag[:] /= expected.intra[abs(k)]
+    oe_normalize(data_matrix, chrom_ranges, expected, mask_intra)
 
     coverages = np.nansum(data_matrix, axis=0)
     selection = coverages > 0
@@ -143,7 +150,9 @@ def compute_pc1(
         # empty ones (robustness addition over the reference, which assumes
         # real Hi-C data where this never happens).
         with np.errstate(invalid="ignore"):
-            col_std = np.nanstd(np.where(np.isfinite(data_matrix), data_matrix, np.nan), axis=0)
+            col_std = np.nanstd(
+                np.where(np.isfinite(data_matrix), data_matrix, np.nan), axis=0
+            )
         selection &= np.nan_to_num(col_std) > 0
     data_matrix = data_matrix[:, selection]
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -152,24 +161,25 @@ def compute_pc1(
         if not use_covariance:
             data_matrix[...] /= np.nanstd(data_matrix, axis=0)
     # Mean-impute scattered invalid entries (empty expected diagonals on
-    # sparse matrices leave NaNs inside otherwise-valid rows; the reference's
-    # nansum-based iteration would discard every row in that case).  After
-    # centering, the column mean is 0.
+    # sparse matrices leave NaNs inside otherwise-valid rows; a nansum-based
+    # iteration would discard every such row).  After centering, the column
+    # mean is 0.
     data_matrix[~np.isfinite(data_matrix)] = 0.0
 
     LOG.info(
         ">> Found %d valid bins out of %d", data_matrix.shape[1], len(selection)
     )
 
-    svd = None
-    for svd in power_svd(data_matrix):
-        if svd.delta < svd_tolerance or svd.step >= max_iters:
-            break
+    vector, iters, delta = leading_singular_vector(
+        data_matrix, tol=svd_tolerance, max_iters=max_iters
+    )
+    LOG.info("Power iteration: %d steps, final delta %.2g", iters, delta)
 
-    pc1 = data_matrix @ svd.vector
-    ev1 = unselect_vector(svd.vector, selection)
+    pc1 = data_matrix @ vector
+    ev1 = scatter_to_full(vector, selection)
 
-    # Scale so var(pc1) = explained variance ratio (src/pc1.py:87-97).
+    # pc1 comes out multiplied by the first singular value; rescale so that
+    # var(pc1) equals the explained-variance ratio.
     data_var = np.nansum(np.nanvar(data_matrix, axis=0))
     pc1 = pc1 / np.sqrt(data_var)
     evr = float(np.nanvar(pc1))
@@ -219,8 +229,8 @@ def main(
     if aux_output:
         aux_data = {
             "explained_variance_ratio": float(evr),
-            "cis_decay_profile": [float(x) for x in expected.intra],
-            "trans_contact": expected.inter,
+            "cis_decay_profile": [float(x) for x in expected.cis_by_separation],
+            "trans_contact": expected.trans_mean,
         }
         with open(aux_output, "w") as file:
             json.dump(aux_data, file)

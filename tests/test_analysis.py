@@ -8,23 +8,22 @@ import pytest
 
 from genome_cycle_tpu.analysis import coolio
 from genome_cycle_tpu.analysis.annotate import (
-    AnnotScheme,
-    ChromType,
-    compute_normalizer,
-    design_diploid_chains,
-    determine_chromatin_type,
+    SCHEME_ALL_B,
+    SCHEME_OWN,
+    TYPE_A,
+    TYPE_B,
+    TYPE_U,
+    classify_beads,
+    compose_tags,
+    mad_normalizer,
+    plan_diploid_chains,
 )
 from genome_cycle_tpu.analysis.cyto import (
     CytoCat,
     attach_cyto_category,
     do_extend_nor,
 )
-from genome_cycle_tpu.analysis.dephase import (
-    infer_chromosome_copies,
-    make_mapping,
-    make_output_bins,
-    _map_bin_ids,
-)
+from genome_cycle_tpu.analysis.dephase import project_bins, split_chain_names
 from genome_cycle_tpu.analysis.gsdio import (
     GSDReader,
     GSDWriter,
@@ -32,8 +31,8 @@ from genome_cycle_tpu.analysis.gsdio import (
     encode_type_names,
     write_hoomd_frame,
 )
-from genome_cycle_tpu.analysis.nci import compute_nci, make_nci_track
-from genome_cycle_tpu.analysis.pc1 import compute_pc1, power_svd
+from genome_cycle_tpu.analysis.nci import extract_diagonals, make_nci_track, nci_scores
+from genome_cycle_tpu.analysis.pc1 import compute_pc1, leading_singular_vector
 
 
 def make_bins(chroms):
@@ -107,7 +106,10 @@ def test_nci_formula(tmp_path):
         path, bins, [{"bin1_id": iu[sel], "bin2_id": ju[sel], "count": mat[iu, ju][sel]}]
     )
     clr = coolio.Cooler(path)
-    nci = compute_nci(clr.matrix(balance=False), 0, n, chunk_size=3)
+    d, s = extract_diagonals(clr, 0, n)
+    np.testing.assert_array_equal(d, diag)
+    np.testing.assert_array_equal(s, sub)
+    nci = nci_scores(d, s)
     expected = [s / np.sqrt(diag[i] * diag[i + 1]) for i, s in enumerate(sub)]
     np.testing.assert_allclose(nci, expected, rtol=1e-6)
     # Track bins span pairs of input bins; halving removes overlaps.
@@ -119,15 +121,14 @@ def test_nci_formula(tmp_path):
     assert (starts[1:] >= ends[:-1]).all()  # no overlaps
 
 
-def test_power_svd_matches_numpy(rng):
+def test_power_iteration_matches_numpy(rng):
     data = rng.normal(size=(40, 15))
-    for svd in power_svd(data):
-        if svd.delta < 1e-10 or svd.step > 5000:
-            break
+    vec, iters, delta = leading_singular_vector(data, tol=1e-10, max_iters=5000)
+    assert delta < 1e-10 and iters <= 5000
     _, _, vt = np.linalg.svd(data, full_matrices=False)
     v1 = vt[0]
     # Sign-invariant comparison.
-    dot = abs(float(np.dot(svd.vector, v1)))
+    dot = abs(float(np.dot(vec, v1)))
     assert dot == pytest.approx(1.0, abs=1e-6)
 
 
@@ -152,46 +153,105 @@ def test_pc1_recovers_compartments(rng):
 
 def test_dephase_mapping():
     bins = make_bins([("chr1:a", 4), ("chr1:b", 4), ("chr2:a", 2), ("nucleoli", 3)])
-    copies = infer_chromosome_copies(["chr1:a", "chr1:b", "chr2:a"])
-    assert copies == {"chr1": ["a", "b"], "chr2": ["a"]}
-    out_bins = make_output_bins(bins, copies)
+    chroms, suffixes = split_chain_names(bins["chrom"])
+    assert chroms.iloc[0] == "chr1" and suffixes.iloc[0] == "a"
+    assert pd.isna(suffixes.iloc[-1])  # "nucleoli" has no copy suffix
+    out_bins, projection = project_bins(bins)
     assert list(out_bins["chrom"].unique()) == ["chr1", "chr2"]
     assert len(out_bins) == 6
-    mapping = make_mapping(bins, out_bins, copies)
     # chr1:b bin 5 maps onto haploid chr1 bin 1; nucleoli unmapped.
-    mapped = _map_bin_ids(np.asarray([0, 5, 8, 9, 11]), mapping)
-    assert mapped.tolist() == [0, 1, 4, 5, -1]
+    assert projection[[0, 5, 8, 9, 11]].tolist() == [0, 1, 4, 5, -1]
+    # The canonical copy maps onto itself.
+    assert projection[:4].tolist() == [0, 1, 2, 3]
 
 
 def test_annotate_typing():
-    assert determine_chromatin_type(2.0, 0.5, []) == ChromType.A
-    assert determine_chromatin_type(-2.0, 0.5, []) == ChromType.B
-    assert determine_chromatin_type(0.2, 0.5, []) == ChromType.U
-    # NaN -> tag heuristics (the reference's broken line 86 would TypeError here).
-    assert determine_chromatin_type(np.nan, 0, ["cen"]) == ChromType.B
-    assert determine_chromatin_type(np.nan, 0, ["anor"]) == ChromType.A
-    assert determine_chromatin_type(np.nan, 0, ["bnor"]) == ChromType.B
-    assert determine_chromatin_type(np.nan, 0, []) == ChromType.U
+    none = int(CytoCat.NONE)
+    z = np.asarray([2.0, -2.0, 0.2, np.nan, np.nan, np.nan, np.nan])
+    cats = np.asarray(
+        [none, none, none, int(CytoCat.CEN), int(CytoCat.NOR), int(CytoCat.NOR), none]
+    )
+    # NOR falls back to A only when the chain's NOR is activated.
+    got_on = classify_beads(z, cats, activate_nor=True, tristate=0.5)
+    assert got_on.tolist() == [TYPE_A, TYPE_B, TYPE_U, TYPE_B, TYPE_A, TYPE_A, TYPE_U]
+    got_off = classify_beads(z, cats, activate_nor=False, tristate=0.5)
+    assert got_off.tolist() == [TYPE_A, TYPE_B, TYPE_U, TYPE_B, TYPE_B, TYPE_B, TYPE_U]
+    # Tag strings carry the category prefix then the type letter.
+    tags = compose_tags(cats, got_on, activate_nor=True)
+    assert tags.tolist() == ["A", "B", "u", "cen,B", "anor,A", "anor,A", "u"]
+    assert compose_tags(cats, got_off, False).tolist() == [
+        "A", "B", "u", "cen,B", "bnor,B", "bnor,B", "u",
+    ]
 
 
 def test_diploid_chain_design():
-    chains = design_diploid_chains(["chr1", "chr2", "chrX"], ["chr2:a"])
+    chains = plan_diploid_chains(["chr1", "chr2", "chrX"], ["chr2:a"])
     names = [c.name for c in chains]
     assert names == ["chr1:a", "chr2:a", "chrX:a", "chr1:b", "chr2:b", "chrX:b"]
     by_name = {c.name: c for c in chains}
     assert by_name["chr2:a"].activate_nor
     assert not by_name["chr2:b"].activate_nor
-    assert by_name["chrX:a"].annot_scheme == AnnotScheme.SINGLE_CHROM
-    assert by_name["chrX:b"].annot_scheme == AnnotScheme.ALL_B
+    assert by_name["chrX:a"].scheme == SCHEME_OWN
+    assert by_name["chrX:b"].scheme == SCHEME_ALL_B
     # With chrY: no Xb, chrY gets a :b copy.
-    chains_y = design_diploid_chains(["chr1", "chrX", "chrY"], [])
+    chains_y = plan_diploid_chains(["chr1", "chrX", "chrY"], [])
     names_y = [c.name for c in chains_y]
     assert "chrX:b" not in names_y and "chrY:b" in names_y
 
 
+def test_annotate_end_to_end(tmp_path):
+    # Two chromosomes, clear A/B signal, a stalk band on chr2 -> anor tags
+    # on the activated copy only; output is a diploid chains.tsv.
+    from genome_cycle_tpu.analysis import annotate
+
+    rows = []
+    for i in range(12):
+        rows.append(("chr1", i * 100, (i + 1) * 100, 3.0 if i < 6 else -3.0))
+    # chr2 has no NCI coverage at all (rolling-mean smoothing would fill
+    # isolated NaNs from neighbours, so only whole-window gaps stay NaN).
+    for i in range(6):
+        rows.append(("chr2", i * 100, (i + 1) * 100, np.nan))
+    nci = pd.DataFrame(rows, columns=["chrom", "start", "end", "score"])
+    nci_path = tmp_path / "nci.tsv"
+    nci.to_csv(nci_path, sep="\t", index=False)
+
+    bands = pd.DataFrame(
+        {
+            "chrom": ["chr1", "chr2", "chr2"],
+            "start": [0, 0, 200],
+            "end": [1200, 200, 600],
+            "name": ["q", "p", "q"],
+            "stain": ["gneg", "stalk", "gneg"],
+        }
+    )
+    band_path = tmp_path / "bands.tsv"
+    bands.to_csv(band_path, sep="\t", index=False, header=False)
+
+    out_path = tmp_path / "chains.tsv"
+    annotate.main(
+        tristate=0.5,
+        activate_nor=["chr2:a"],
+        output_filename=str(out_path),
+        nci_filename=str(nci_path),
+        band_filename=str(band_path),
+    )
+    table = pd.read_csv(out_path, sep="\t")
+    assert list(table["chain"].unique()) == ["chr1:a", "chr2:a", "chr1:b", "chr2:b"]
+    chr1a = table[table["chain"] == "chr1:a"]
+    # High-score beads are A=(1,0); low-score beads B=(0,1) (smoothing blurs
+    # the boundary, so check the outer beads).
+    assert (chr1a["A"].values[:2] == 1.0).all() and (chr1a["B"].values[:2] == 0.0).all()
+    assert (chr1a["A"].values[-1:] == 0.0).all() and (chr1a["B"].values[-1:] == 1.0).all()
+    # NaN-score stalk beads: anor on the activated copy, bnor on the other.
+    chr2a = table[table["chain"] == "chr2:a"]
+    chr2b = table[table["chain"] == "chr2:b"]
+    assert chr2a["tags"].values[0].startswith("anor,")
+    assert chr2b["tags"].values[0].startswith("bnor,")
+
+
 def test_normalizer_median_mad():
     vals = np.asarray([1.0, 2.0, 3.0, 4.0, 100.0])
-    center, scale = compute_normalizer(vals)
+    center, scale = mad_normalizer(vals)
     assert center == 3.0
     assert scale == pytest.approx(1.0 * 1.4826)
 
