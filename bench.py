@@ -1,26 +1,35 @@
-"""Benchmark: interphase BD hot loop at a 100k-bead nucleus on one chip.
+"""Benchmark: interphase BD hot loop on one TPU chip.
 
 Prints ONE JSON line:
     {"metric": "bead_steps_per_s_per_chip", "value": N, "unit": "bead-steps/s",
-     "vs_baseline": R}
+     "vs_baseline": R, ...}
 
 The primary metric follows BASELINE.md: bead-steps/s/chip for the full
-interphase force field (cell-list A/B softcore, chain bonds, nucleolar
-terms, moving ellipsoid wall with reaction, contact counting cadence, BD
+interphase force field (dense-slab A/B softcore pair engine, chain bonds,
+moving ellipsoid wall with axial reaction, contact counting cadence, BD
 update).  ``vs_baseline`` compares against a single-threaded C++ cell-list
-implementation of the same force field compiled with -O2 -march=native
-(bench_baseline.cpp) — the reference itself cannot be built here because its
-micromd submodule is not vendored (SURVEY.md §2.9), so this stands in as the
-reference-equivalent CPU baseline; its throughput is cached in
-bench_baseline_r25.json after the first run.
+implementation of the same force field compiled with the reference's flags
+(genome_cycle_tpu/native/bench_baseline.cpp) — the reference itself cannot be
+built here (micromd submodule not vendored, SURVEY.md §2.9).
 
-Robustness: per-cell capacity is probed from the actual initial structure
-(densest cell + headroom) and each variant retries once with doubled
-capacity if the run still overflows — an overflowed run measures dropped
-pairs, not the force field, and is never reported.
+Workload geometry: chains initialised as ball-confined Gaussian random walks
+at the thermal equilibrium bond length.  A uniform random ball (earlier
+rounds) puts bonded neighbours ~1.5 apart, so every chain collapses into a
+dense clump within a few hundred steps — cell occupancy quadruples
+mid-measurement, each fixed-capacity retry costs a multi-minute recompile,
+and two rounds of driver benches timed out exactly this way.  The walk is
+density-stationary from step 0, so the capacity probed from the initial
+structure holds for the whole measurement.
+
+Banking strategy (escalation ladder): a small dense-XLA config runs first
+and banks a valid number quickly; the production 100k config upgrades it;
+the experimental Pallas kernel runs LAST in a crash-isolated subprocess so
+a TPU-worker crash (observed in round 2) can never sink already-banked
+results.  Any banked number makes the bench exit 0.
 """
 
 import json
+import math
 import os
 import pathlib
 import subprocess
@@ -30,28 +39,128 @@ import time
 import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parent
-N_BEADS = 100_000
 CHAINS = 46
 BENCH_STEPS = 200
-# Equilibrium-G1-like density: 100k beads in a radius-2.5 ball (~1500/unit^3,
-# ~40 beads per 0.3 cell).  The C++ baseline uses the same configuration.
-BALL_RADIUS = 2.5
-BASELINE_CACHE = REPO / "bench_baseline_r25.json"
+TIMED_REPS = 3
+# Equilibrium-G1-like density: 100k beads in a radius-2.5 ball
+# (~1500 beads/unit^3); smaller configs shrink the ball at equal density.
+FULL_N = 100_000
+FULL_RADIUS = 2.5
+BASELINE_CACHE = REPO / "bench_baseline_walk.json"
+
+# v5e peak (bf16 MXU) for the roofline context line; the pair math here is
+# f32 on the VPU, so this fraction understates true hardware utilization but
+# is the honest public yardstick.
+V5E_BF16_PEAK = 197e12
+FLOPS_PER_PAIR_LANE = 36.0  # dx/dy/dz, r2, two softcore branches, 3 FMAs out
 
 
-def _probe_capacity(x, cell_size, margin=1.25):
-    """Densest-cell occupancy of the start structure, with headroom,
-    rounded up to a multiple of 32 (slab engines want static capacity; the
-    Pallas kernel wants a multiple of its j-sublane block)."""
-    coords = np.floor(x / cell_size).astype(np.int64)
-    coords -= coords.min(axis=0)
-    dims = coords.max(axis=0) + 1
-    cid = (coords[:, 0] * dims[1] + coords[:, 1]) * dims[2] + coords[:, 2]
-    max_fill = int(np.bincount(cid).max())
-    return int(max(32, -(-int(max_fill * margin) // 32) * 32))
+def _ball_radius(n: int) -> float:
+    return FULL_RADIUS * (n / FULL_N) ** (1.0 / 3.0)
 
 
-def _measure_variant(use_pallas, use_dense):
+def _chain_walk(n: int, chains: int, radius: float, bond_rms=0.1, seed=0):
+    """Chains as ball-confined Gaussian random walks at equilibrium bond
+    length (<r^2> = 3kT/k_eff with k_eff ~ 300 at core_scale 0.5 -> rms 0.1).
+    Walks escaping the ball fold back by radial reflection (triangle-wave map
+    of the radius), which preserves local step statistics almost everywhere.
+    """
+    rng = np.random.default_rng(seed)
+    per = n // chains
+    out = np.empty((per * chains, 3), np.float32)
+    sigma = bond_rms / math.sqrt(3.0)
+    for c in range(chains):
+        steps = rng.normal(0.0, sigma, size=(per, 3))
+        start_dir = rng.normal(size=3)
+        start_dir /= np.linalg.norm(start_dir)
+        walk = np.empty((per, 3))
+        walk[0] = start_dir * radius * rng.uniform(0, 0.9) ** (1 / 3)
+        for i in range(1, per):
+            q = walk[i - 1] + steps[i]
+            r = math.sqrt(q @ q)
+            if r > radius:
+                # Mirror across the boundary sphere (steps << radius, so one
+                # reflection suffices and angular diversity is preserved).
+                q *= (2.0 * radius - r) / r
+            walk[i] = q
+        out[c * per : (c + 1) * per] = walk
+    return out
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+def _grid_max_fill(x, bound: float, cell: float) -> int:
+    """Densest-cell occupancy under the engine's own grid alignment
+    (DenseGrid.cubic: lower = -bound, dims = ceil(2*bound/cell))."""
+    ndim = max(int(np.ceil(2.0 * bound / cell)), 1)
+    c = np.clip(((x + bound) / cell).astype(np.int64), 0, ndim - 1)
+    cid = (c[:, 0] * ndim + c[:, 1]) * ndim + c[:, 2]
+    return int(np.bincount(cid).max())
+
+
+def _max_contact_partners(x, cutoff: float) -> int:
+    """Largest per-row pair count within ``cutoff`` under the engine's
+    parity-balanced ownership (ops/contact.py:owns_pair)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(x)
+    pairs = tree.query_pairs(cutoff, output_type="ndarray")
+    if len(pairs) == 0:
+        return 0
+    i = np.minimum(pairs[:, 0], pairs[:, 1])
+    j = np.maximum(pairs[:, 0], pairs[:, 1])
+    owner = np.where((i + j) % 2 == 0, i, j)
+    return int(np.bincount(owner, minlength=len(x)).max())
+
+
+def _plan(n_beads: int):
+    """Static engine plan derived from the initial structure: grid geometry,
+    capacities, and the dense cell-size bucket covering the whole run."""
+    import jax.numpy as jnp  # noqa: F401  (ensures jax is importable early)
+
+    radius = _ball_radius(n_beads)
+    x = _chain_walk(n_beads, CHAINS, radius)
+
+    # Interphase defaults: dt 1e-5, scheduled expansion from core_scale 0.5.
+    dt = 1e-5
+    t_end = (1 + TIMED_REPS) * BENCH_STEPS * dt
+    core_end = 1.0 - 0.5 * math.exp(-t_end / 0.5)
+    bucket = next(b for b in (0.5, 0.75, 1.0) if core_end <= b + 1e-6)
+
+    dense_bound = radius + 0.5
+    cell = 0.3 * bucket
+    fill = _grid_max_fill(x, dense_bound, cell)
+    cell_capacity = _round_up(max(int(fill * 1.5), 32), 32)
+
+    # Contact rows: cutoff = distance*scale + margin at build time.
+    margin = 0.25
+    contact_cutoff = 0.24 * 0.5 + margin
+    partners = _max_contact_partners(x, contact_cutoff)
+    contact_capacity = _round_up(max(int(partners * 1.3), 32), 32)
+
+    # The contact grid multiplies cell_capacity by the cell-volume ratio
+    # internally; verify the product covers its own densest cell.
+    contact_cell = 0.24 + margin
+    contact_fill = _grid_max_fill(x, radius + 1.0, contact_cell)
+    ratio = max(1, int(np.ceil((contact_cell / 0.3) ** 3)))
+    if cell_capacity * ratio < int(contact_fill * 1.3):
+        cell_capacity = _round_up(int(contact_fill * 1.3 / ratio) + 1, 32)
+
+    return dict(
+        n_beads=n_beads,
+        radius=radius,
+        dense_bound=dense_bound,
+        bucket=bucket,
+        cell=cell,
+        cell_capacity=cell_capacity,
+        contact_capacity=contact_capacity,
+        margin=margin,
+    )
+
+
+def _measure_variant(n_beads: int, use_pallas: bool):
     import jax
     import jax.numpy as jnp
 
@@ -59,62 +168,85 @@ def _measure_variant(use_pallas, use_dense):
     import __graft_entry__ as ge
     from genome_cycle_tpu.models.interphase import EngineSettings
 
-    x_host = ge._ball(N_BEADS, radius=BALL_RADIUS)
-    cell_size = 0.3  # max core diameter (reference interphase defaults)
-    capacity = _probe_capacity(x_host, cell_size)
+    plan = _plan(n_beads)
+    settings = EngineSettings(
+        cell_capacity=plan["cell_capacity"],
+        contact_capacity=plan["contact_capacity"],
+        contact_margin=plan["margin"],
+        grid_bound=plan["radius"] + 1.0,
+        dense_bound=plan["dense_bound"],
+        dense_cell_scale=plan["bucket"],
+        use_dense_grid=True,
+        use_pallas=use_pallas,
+    )
+    model = ge._make_model(n_beads=n_beads, chains=CHAINS, settings=settings)
+    x_host = _chain_walk(n_beads, CHAINS, plan["radius"])[: model.n]
 
-    for attempt in range(3):
-        settings = EngineSettings(
-            cell_capacity=capacity,
-            contact_capacity=64,
-            grid_bound=BALL_RADIUS + 1.0,
-            dense_bound=BALL_RADIUS + 0.5,
-            use_dense_grid=use_dense,
-            use_pallas=use_pallas,
-        )
-        model = ge._make_model(n_beads=N_BEADS, chains=CHAINS, settings=settings)
+    x = jnp.asarray(x_host)
+    key = jax.random.PRNGKey(0)
+    # Wall semiaxes match the start ball so density stays at the stated value
+    # instead of compressing mid-measurement (C++ baseline: same geometry).
+    semiaxes = jnp.full((3,), plan["radius"], jnp.float32)
 
-        x = jnp.asarray(x_host[: model.n])
-        key = jax.random.PRNGKey(0)
-        # Wall semiaxes match the start ball: density stays at the stated
-        # ~1500 beads/unit^3 instead of compressing mid-measurement (the C++
-        # baseline uses the same geometry).
-        semiaxes = jnp.full((3,), BALL_RADIUS, jnp.float32)
-        contact = model.fresh_contact_list(x, float(model.scales(0.0)[0]))
-        stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-        carry = (x, key, semiaxes, contact, stats)
+    from genome_cycle_tpu.models.interphase import ChunkStats
 
-        chunk = jax.jit(
-            lambda carry, start: jax.lax.scan(
-                lambda cr, s: (model.interphase_step(cr, s), None),
-                carry,
-                start + 1 + jnp.arange(BENCH_STEPS),
-            )[0]
-        )
+    for attempt in range(2):
+        carry = (x, key, semiaxes, ChunkStats.zero(jnp.float32))
+        chunk = model.make_interphase_chunk(BENCH_STEPS)
 
-        # Warmup (compile + first run) + validity: a run that overflows its
-        # cell capacity measured dropped pairs, not the force field.
-        carry = chunk(carry, jnp.asarray(0))
+        # Warmup (compile + first chunk) + validity: an overflowed run
+        # measured dropped pairs, not the force field.
+        carry, _ = chunk(carry, jnp.asarray(0))
         jax.block_until_ready(carry[0])
-        overflow = int(carry[4][0])
-        if overflow > 0:
-            capacity *= 2
+        stats = carry[3]
+        bad = {
+            "cell": int(stats.cell_overflow),
+            "contact": int(stats.contact_overflow),
+            "events": int(stats.event_overflow),
+        }
+        if any(bad.values()):
             print(
-                f"cell capacity overflow ({overflow}); retrying at {capacity}",
+                f"capacity overflow {bad} at cell_capacity="
+                f"{model.settings.cell_capacity}; retrying doubled",
                 file=sys.stderr,
+            )
+            import dataclasses
+
+            settings = dataclasses.replace(
+                settings,
+                cell_capacity=settings.cell_capacity
+                * (2 if bad["cell"] else 1),
+                contact_capacity=settings.contact_capacity
+                * (2 if bad["contact"] else 1),
+                contact_events_capacity=(
+                    model.events_capacity * 2 if bad["events"] else None
+                ),
+            )
+            model = ge._make_model(
+                n_beads=n_beads, chains=CHAINS, settings=settings
             )
             continue
 
         t0 = time.perf_counter()
-        reps = 3
-        for r in range(reps):
-            carry = chunk(carry, jnp.asarray((r + 1) * BENCH_STEPS))
+        for r in range(TIMED_REPS):
+            carry, _ = chunk(carry, jnp.asarray((r + 1) * BENCH_STEPS))
         jax.block_until_ready(carry[0])
-        dt = (time.perf_counter() - t0) / reps
+        dt = (time.perf_counter() - t0) / TIMED_REPS
 
         steps_per_s = BENCH_STEPS / dt
-        return steps_per_s * model.n, steps_per_s
-    raise RuntimeError("cell capacity overflow persisted after retries")
+        grid = model.dense_grid
+        lanes_per_step = grid.num_cells * 27.0 * grid.capacity**2
+        flops = lanes_per_step * FLOPS_PER_PAIR_LANE * steps_per_s
+        return dict(
+            bead_steps=steps_per_s * model.n,
+            steps_per_s=steps_per_s,
+            n=model.n,
+            cell_capacity=grid.capacity,
+            pair_lanes_per_s=lanes_per_step * steps_per_s,
+            tflops_est=flops / 1e12,
+            mfu_vs_bf16_peak=flops / V5E_BF16_PEAK,
+        )
+    raise RuntimeError("cell capacity overflow persisted after retry")
 
 
 def _bench_env():
@@ -126,13 +258,10 @@ def _bench_env():
     return env
 
 
-def _tpu_healthy(timeout_s=180):
-    """Run a trivial device computation in a throwaway subprocess.
-
-    The axon TPU tunnel wedges for minutes after a worker crash; a health
-    probe (instead of launching a 25-minute variant into a dead tunnel)
-    keeps the benchmark's wall clock bounded.
-    """
+def _tpu_healthy(timeout_s=300):
+    """Trivial device computation in a throwaway subprocess.  The axon TPU
+    tunnel wedges for minutes after a worker crash, and even a healthy
+    tunnel's first op can take ~80 s — probe with a generous timeout."""
     code = (
         "import jax, jax.numpy as jnp; "
         "print('HEALTH', float(jnp.ones((8, 8)).sum()))"
@@ -158,45 +287,48 @@ def _wait_for_tpu(max_wait_s=900):
 
 
 def measure_tpu():
-    """Measure engine variants and report the best one that works.
+    """Run the escalation ladder; return the best result that worked.
 
-    Each variant runs in a subprocess with a hard timeout: the experimental
-    axon TPU tunnel has been observed to wedge or crash on specific Mosaic
-    compiles, and a hang must cost a variant, not the whole benchmark.  The
-    reliable XLA dense-slab engine runs first to bank a valid number; the
-    Pallas kernel then gets one shot at beating it.
+    Every variant runs in its own subprocess with a hard timeout: a compile
+    hang or worker crash costs that variant only.  Ordering puts reliability
+    first (small dense config), peak-throughput upgrades after, and the
+    crash-prone experimental kernel last.
     """
-    variants = [
-        ("dense-xla", False, True),
-        ("pallas", True, True),
-        ("gather-xla", False, False),
+    ladder = [
+        ("dense-xla-25k", 25_000, False, 1500),
+        ("dense-xla-100k", 100_000, False, 1800),
+        ("pallas-100k", 100_000, True, 1500),
     ]
     best = None
-    for name, use_pallas, use_dense in variants:
-        if best is not None and name == "gather-xla":
-            break  # gather engine is the slow fallback; skip once banked
+    for name, n_beads, use_pallas, timeout in ladder:
         if not _wait_for_tpu():
             print("TPU did not recover; skipping remaining variants",
                   file=sys.stderr)
             break
         code = (
             "import sys, json; sys.path.insert(0, %r); import bench; "
-            "bs, sp = bench._measure_variant(%r, %r); "
-            "print('BENCHRESULT ' + json.dumps({'bead_steps': bs, 'steps': sp}))"
-            % (str(REPO), use_pallas, use_dense)
+            "res = bench._measure_variant(%d, %r); "
+            "print('BENCHRESULT ' + json.dumps(res))"
+            % (str(REPO), n_beads, use_pallas)
         )
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=1800, env=_bench_env(),
+                capture_output=True, text=True, timeout=timeout,
+                env=_bench_env(),
             )
             for line in out.stdout.splitlines():
                 if line.startswith("BENCHRESULT "):
-                    data = json.loads(line[len("BENCHRESULT "):])
-                    print(f"variant {name}: {data['bead_steps']:.3g} bead-steps/s",
-                          file=sys.stderr)
-                    if best is None or data["bead_steps"] > best[0]:
-                        best = (data["bead_steps"], data["steps"], name)
+                    res = json.loads(line[len("BENCHRESULT "):])
+                    res["variant"] = name
+                    print(
+                        f"variant {name}: {res['bead_steps']:.3g} "
+                        f"bead-steps/s ({res['steps_per_s']:.2f} steps/s, "
+                        f"~{res['tflops_est']:.1f} Tflop/s est)",
+                        file=sys.stderr,
+                    )
+                    if best is None or res["bead_steps"] > best["bead_steps"]:
+                        best = res
                     break
             else:
                 print(f"variant {name} failed:\n{out.stderr[-2000:]}",
@@ -208,10 +340,14 @@ def measure_tpu():
     return best
 
 
-def measure_baseline():
-    """Single-thread C++ cell-list baseline (reference-equivalent)."""
+def measure_baseline(n_beads: int):
+    """Single-thread C++ cell-list baseline (reference-equivalent), measured
+    at the same bead count, density, and walk-chain initial structure."""
+    cache = {}
     if BASELINE_CACHE.exists():
-        return json.loads(BASELINE_CACHE.read_text())["bead_steps_per_s"]
+        cache = json.loads(BASELINE_CACHE.read_text())
+        if str(n_beads) in cache:
+            return cache[str(n_beads)]
     src = REPO / "genome_cycle_tpu" / "native" / "bench_baseline.cpp"
     if not src.exists():
         return None
@@ -223,11 +359,12 @@ def measure_baseline():
             check=True, capture_output=True,
         )
         out = subprocess.run(
-            [str(exe), str(N_BEADS), "20", str(BALL_RADIUS)],
+            [str(exe), str(n_beads), "20", str(_ball_radius(n_beads))],
             check=True, capture_output=True, text=True, timeout=1200,
         )
         value = float(json.loads(out.stdout.strip())["bead_steps_per_s"])
-        BASELINE_CACHE.write_text(json.dumps({"bead_steps_per_s": value}))
+        cache[str(n_beads)] = value
+        BASELINE_CACHE.write_text(json.dumps(cache))
         return value
     except Exception as ex:
         print(f"baseline build/run failed: {ex}", file=sys.stderr)
@@ -235,16 +372,22 @@ def measure_baseline():
 
 
 def main():
-    bead_steps, steps_per_s, variant = measure_tpu()
-    baseline = measure_baseline()
-    vs = (bead_steps / baseline) if baseline else 0.0
+    best = measure_tpu()
+    baseline = measure_baseline(best["n"])
+    vs = (best["bead_steps"] / baseline) if baseline else 0.0
     print(
         json.dumps(
             {
                 "metric": "bead_steps_per_s_per_chip",
-                "value": round(bead_steps),
+                "value": round(best["bead_steps"]),
                 "unit": "bead-steps/s",
                 "vs_baseline": round(vs, 2),
+                "variant": best["variant"],
+                "n_beads": best["n"],
+                "steps_per_s": round(best["steps_per_s"], 2),
+                "pair_lanes_per_s": best["pair_lanes_per_s"],
+                "tflops_est": round(best["tflops_est"], 2),
+                "mfu_vs_bf16_peak": round(best["mfu_vs_bf16_peak"], 4),
             }
         )
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import sys
 import time as _time
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +31,11 @@ from ..ops.bonded import chain_bond_pairs, loop_bond_pairs, pair_bond_forces
 from ..ops.contact import (
     ContactList,
     build_contact_list,
+    compact_contact_events,
     contact_list_to_host,
+    events_to_host,
     merge_window,
+    track_drift,
     update_contact_counts,
 )
 from ..ops.integrator import BDParams, bd_update
@@ -60,6 +63,15 @@ class EngineSettings:
     cell_capacity: int = 32
     contact_capacity: int = 64
     contact_margin: float = 0.25
+    # The contact pair list is rebuilt inside the scan every this many steps:
+    # a frozen per-chunk list silently misses pairs once any bead drifts past
+    # margin/2 (free-diffusion rms over 1000 steps is ~2x that), so the list
+    # lives only as long as its margin provably covers (drift is tracked and
+    # the margin grows if ever exceeded).  Rounded down to a divisor of the
+    # chunk length at chunk-build time.
+    contact_rebuild_interval: int = 50
+    # Fixed per-segment event-buffer rows (None = auto: ~8 rows per bead).
+    contact_events_capacity: Optional[int] = None
     grid_bound: float = 8.0
     dtype: str = "float32"
     # Dense-slab pair engine (gather-free; the TPU-fast path).  The gather
@@ -523,6 +535,9 @@ class InterphaseModel:
 
         # Contact-map update every contactmap_update_interval steps, at the
         # post-update positions and current (post-step) contact distance.
+        # Drift tracking guards the frozen pair list: the chunk driver
+        # rebuilds with a wider margin when displacement exceeds margin/2.
+        contact = track_drift(contact, x)
         core_scale_now, _ = self.scales(step.astype(x.dtype) * dt)
         contact = jax.lax.cond(
             step % c.contactmap_update_interval == 0,
@@ -551,6 +566,116 @@ class InterphaseModel:
             self.settings.contact_capacity,
         )
 
+    @property
+    def events_capacity(self) -> int:
+        # Auto default: ~5.5 contact pairs per bead at G1 density, times the
+        # union growth over a segment's ticks (measured ~9.4/bead at 25k
+        # beads), with headroom; overflow is detected and grows this.
+        cap = self.settings.contact_events_capacity
+        return cap if cap is not None else max(4096, 14 * self.n)
+
+    def rebuild_interval(self, chunk_steps: int) -> int:
+        """Largest divisor of the chunk length not exceeding the requested
+        contact rebuild cadence (segments must tile the chunk exactly)."""
+        r = min(self.settings.contact_rebuild_interval, chunk_steps)
+        while chunk_steps % r:
+            r -= 1
+        return r
+
+    def interphase_segment(self, seg_steps: int):
+        """(carry, seg_start) -> (carry, events): one contact-list lifetime.
+
+        A fresh pair list is built from the current positions with a cutoff
+        covering the segment's final contact distance, the BD step scans the
+        segment, and the expiring list's nonzero counts compact into a fixed
+        (E, 3) event block (the scan stacks these as its ys).  This matches
+        the reference's fresh-search-every-update semantics
+        (contact_map.cpp:33-63) as long as drift stays under margin/2 —
+        which the drift watermark verifies, per segment, at run time.
+        """
+        c = self.config
+
+        def segment(carry, seg_start):
+            x, key, semiaxes, stats = carry
+            t_end = (seg_start + seg_steps).astype(x.dtype) * c.timestep
+            core_end, _ = self.scales(t_end)
+            cutoff = (
+                c.contactmap_distance * core_end + self.settings.contact_margin
+            )
+            table, _, _ = build_cell_table(self.contact_grid, x)
+            contact = build_contact_list(
+                self.contact_grid, table, x, cutoff,
+                self.settings.contact_capacity,
+            )
+            inner = (x, key, semiaxes, contact, (stats.cell_overflow,
+                                                 stats.cell_fill))
+            inner, _ = jax.lax.scan(
+                lambda cr, s: (self.interphase_step(cr, s), None),
+                inner,
+                seg_start + 1 + jnp.arange(seg_steps),
+            )
+            x, key, semiaxes, contact, (ov, fill) = inner
+            events, n_events = compact_contact_events(
+                contact, self.events_capacity
+            )
+            stats = ChunkStats(
+                cell_overflow=ov,
+                cell_fill=fill,
+                contact_overflow=jnp.maximum(
+                    stats.contact_overflow, contact.overflow
+                ),
+                drift2=jnp.maximum(stats.drift2, contact.drift2),
+                event_overflow=jnp.maximum(
+                    stats.event_overflow,
+                    n_events - np.int32(self.events_capacity),
+                ),
+            )
+            return (x, key, semiaxes, stats), events
+
+        return segment
+
+    def make_interphase_chunk(self, chunk_steps: int):
+        """(carry, start) -> (carry, events) over one sampling chunk.
+
+        carry = (x, key, semiaxes, ChunkStats); events (segments, E, 3).
+
+        The segment is ONE jit (compiled once); segments are dispatched from
+        a host loop rather than an outer ``lax.scan``.  Nested scans (a scan
+        of segments each containing the 50-step scan) crash the TPU worker
+        on the current experimental runtime — bisected on hardware: the
+        jitted segment runs fine, the same segment under an outer scan dies
+        with a device error.  The host loop costs only async dispatch (no
+        sync until the events are consumed) and keeps semantics identical.
+        """
+        seg = self.rebuild_interval(chunk_steps)
+        segment = jax.jit(self.interphase_segment(seg))
+        n_segments = chunk_steps // seg
+
+        def chunk(carry, start):
+            start = jnp.asarray(start, jnp.int32)
+            events = []
+            for k in range(n_segments):
+                carry, ev = segment(carry, start + k * seg)
+                events.append(ev)
+            return carry, jnp.stack(events)
+
+        return chunk
+
+
+class ChunkStats(NamedTuple):
+    """Validity diagnostics accumulated across a jitted chunk."""
+
+    cell_overflow: jnp.ndarray     # () int32 pair-engine slot overflow
+    cell_fill: jnp.ndarray         # () int32 densest cell seen
+    contact_overflow: jnp.ndarray  # () int32 contact-list row overflow
+    drift2: jnp.ndarray            # () max squared drift within a segment
+    event_overflow: jnp.ndarray    # () int32 event rows beyond capacity
+
+    @classmethod
+    def zero(cls, dtype=jnp.float32) -> "ChunkStats":
+        z = jnp.zeros((), jnp.int32)
+        return cls(z, z, z, jnp.zeros((), dtype), z)
+
 
 class _AdaptiveEngine:
     """Capacity-adaptive compiled-function cache.
@@ -576,6 +701,9 @@ class _AdaptiveEngine:
         self.settings = base
         self.cell_capacity = base.cell_capacity
         self.contact_capacity = base.contact_capacity
+        self.contact_margin = base.contact_margin
+        self.rebuild_interval = base.contact_rebuild_interval
+        self.events_capacity = base.contact_events_capacity
         self.dense_bound = base.dense_bound
         self.dense_cell_scale = base.dense_cell_scale
         # Brute-force systems ignore the cell grids entirely: freeze every
@@ -614,7 +742,8 @@ class _AdaptiveEngine:
         # engine's cost scales with N, not with the worst cell, so the
         # relaxation phase always uses it.
         key = (
-            self.cell_capacity, self.contact_capacity, self.dense_bound,
+            self.cell_capacity, self.contact_capacity, self.contact_margin,
+            self.rebuild_interval, self.events_capacity, self.dense_bound,
             self.dense_cell_scale, relax,
         )
         if key not in self._cache:
@@ -622,6 +751,9 @@ class _AdaptiveEngine:
                 self.settings,
                 cell_capacity=self.cell_capacity,
                 contact_capacity=self.contact_capacity,
+                contact_margin=self.contact_margin,
+                contact_rebuild_interval=self.rebuild_interval,
+                contact_events_capacity=self.events_capacity,
                 dense_bound=self.dense_bound,
                 dense_cell_scale=self.dense_cell_scale,
                 use_dense_grid=self.settings.use_dense_grid and not relax,
@@ -635,13 +767,7 @@ class _AdaptiveEngine:
                     jnp.arange(c.relaxation_sampling_interval),
                 )[0]
             )
-            inter_chunk = jax.jit(
-                lambda carry, start: jax.lax.scan(
-                    lambda cr, s: (model.interphase_step(cr, s), None),
-                    carry,
-                    start + 1 + jnp.arange(c.sampling_interval),
-                )[0],
-            )
+            inter_chunk = model.make_interphase_chunk(c.sampling_interval)
             energy = jax.jit(model.total_energy)
             self._cache[key] = dict(
                 model=model, relax_chunk=relax_chunk, inter_chunk=inter_chunk,
@@ -667,6 +793,31 @@ class _AdaptiveEngine:
             raise RuntimeError("contact capacity limit exceeded")
         self.contact_capacity *= 2
         self.log(f"engine: growing contact capacity to {self.contact_capacity}")
+
+    def handle_drift(self):
+        """A segment's max bead displacement exceeded margin/2 — the
+        per-segment pair list is only a superset of contact-eligible pairs
+        within that bound.  Prefer shortening the list lifetime (rebuilds
+        cost one cell pass) over widening the margin (row capacity — and the
+        every-20-step tick cost — grow with the margin cubed)."""
+        if self.rebuild_interval > 25:
+            self.rebuild_interval = max(self.rebuild_interval // 2, 25)
+            self.log(
+                f"engine: drift exceeded margin/2; contact rebuild interval "
+                f"-> {self.rebuild_interval}"
+            )
+        elif self.contact_margin < 4.0:
+            self.contact_margin *= 2.0
+            self.log(f"engine: growing contact margin to {self.contact_margin}")
+        else:
+            raise RuntimeError("contact margin limit exceeded")
+
+    def grow_events(self, model):
+        cur = self.events_capacity or model.events_capacity
+        if cur >= 1 << 26:
+            raise RuntimeError("contact event capacity limit exceeded")
+        self.events_capacity = cur * 2
+        self.log(f"engine: growing event capacity to {self.events_capacity}")
 
     def probe_capacity(self, positions):
         """Size the cell capacity from the actual densest cell before the
@@ -854,22 +1005,25 @@ def run_interphase(
         while True:
             bundle = engine.bundle()
             model = bundle["model"]
-            core_now, _ = model.scales(jnp.asarray(start * c.timestep))
-            contact = model.fresh_contact_list(state[0], float(core_now))
-            if int(contact.overflow) > 0:
-                engine.grow_contacts()
-                continue
-            carry = bundle["inter_chunk"]((*state, contact, zero_stats()), start)
-            x, k, semiaxes, contact, stats = carry
-            overflow, max_fill = (int(v) for v in stats)
-            if overflow > 0:
+            carry, events = bundle["inter_chunk"](
+                (*state, ChunkStats.zero(dtype)), jnp.asarray(start)
+            )
+            x, k, semiaxes, stats = carry
+            if int(stats.cell_overflow) > 0:
                 engine.grow_cells()
                 continue
-            if int(contact.overflow) > 0:
+            if int(stats.contact_overflow) > 0:
                 engine.grow_contacts()
+                continue
+            if int(stats.event_overflow) > 0:
+                engine.grow_events(model)
+                continue
+            if float(np.sqrt(stats.drift2)) > engine.contact_margin / 2:
+                engine.handle_drift()
                 continue
             break
         state = (x, k, semiaxes)
+        max_fill = int(stats.cell_fill)
         engine.shrink_cells_if_idle(max_fill)
         engine.update_bound(float(np.abs(np.asarray(x)).max()))
         # Bucket must cover the cutoff through the END of the next chunk.
@@ -877,7 +1031,7 @@ def run_interphase(
         engine.update_cell_scale(float(core_next))
         step = start + sampling
 
-        window_chunks.append(contact_list_to_host(contact))
+        window_chunks.append(events_to_host(events))
 
         contacts_coo = None
         if step % window_steps == 0:

@@ -200,7 +200,7 @@ def run_prometaphase(store: SimulationStore, log=print):
 
     store.save_positions(0, np.asarray(x))
     store.append_frame(0)
-    log(progress_line("prometaphase", 0, energy=float(energy_fn(x))))
+    log(progress_line("prometaphase", 0, energy=float(energy_fn(x)) / model.n))
 
     carry = (x, key)
     for c in range(m.prometaphase_steps // m.sampling_interval):
@@ -209,6 +209,6 @@ def run_prometaphase(store: SimulationStore, log=print):
         store.save_positions(step, np.asarray(carry[0]))
         store.append_frame(step)
         if step % m.logging_interval == 0:
-            log(progress_line("prometaphase", step, energy=float(energy_fn(carry[0]))))
+            log(progress_line("prometaphase", step, energy=float(energy_fn(carry[0])) / model.n))
 
     return np.asarray(carry[0])

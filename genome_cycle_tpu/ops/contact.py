@@ -4,20 +4,24 @@ Replaces the reference's host-side hash-map contact map
 (stage_interphase/contact_map.{hpp,cpp}) with a jit-friendly fixed-capacity
 design:
 
-1. At the start of each jitted chunk, :func:`build_contact_list` compacts all
-   pairs within ``contact_distance + margin`` into a per-bead slot list
-   (N, capacity) — the margin covers bead drift across the chunk, so the
-   list is a superset of contact-eligible pairs for the whole chunk.
-2. Inside the chunk, every ``contactmap_update_interval`` steps
+1. Per rebuild segment (every ``contact_rebuild_interval`` steps, inside the
+   jitted scan), :func:`build_contact_list` compacts all pairs within
+   ``contact_distance + margin`` into a per-bead slot list (N, capacity) —
+   the margin covers bead drift across one segment, and :func:`track_drift`
+   verifies that assumption at run time.
+2. Within the segment, every ``contactmap_update_interval`` steps
    :func:`update_contact_counts` re-measures only the listed pairs and
    increments per-slot counts — no sorting or hashing in the hot loop.
-3. After each chunk the (ids, counts) pair goes to the host, where
-   :func:`merge_window` reduces the accumulated chunks of an output window
-   to the sorted COO (i, j, count) rows the trajectory store expects
-   (contact_map.cpp:66-85 sorts by (i<<32|j) for compressibility).
+3. At segment end :func:`compact_contact_events` squeezes the nonzero slots
+   into a fixed (E, 3) event block (cumsum compaction, no sort); the scan
+   stacks the blocks, and the host-side :func:`merge_window` reduces an
+   output window's events to the sorted COO (i, j, count) rows the
+   trajectory store expects (contact_map.cpp:66-85 sorts by (i<<32|j) for
+   compressibility).
 
-Pairs are stored once with i < j.  Slot-capacity and margin overflows are
-counted and surfaced, never silently dropped.
+Each pair is stored on exactly one owner row (parity-balanced, see
+:func:`owns_pair`); host extraction restores i < j.  Slot-capacity, event
+and margin overflows are counted and surfaced, never silently dropped.
 """
 
 from __future__ import annotations
@@ -35,16 +39,50 @@ class ContactList(NamedTuple):
     counts: jnp.ndarray    # (N, capacity) int32 accumulated contact events
     fill: jnp.ndarray      # (N,) int32 used slots per row
     overflow: jnp.ndarray  # () int32 pairs dropped for lack of capacity
+    ref_pos: jnp.ndarray   # (N, 3) positions the list was built from
+    drift2: jnp.ndarray    # () max squared displacement from ref_pos seen
+
+
+def track_drift(contact: ContactList, q_pos) -> ContactList:
+    """Fold the current max squared bead displacement since the list was
+    built into the list's drift watermark.
+
+    The list covers every pair within ``cutoff = distance + margin`` at build
+    time, so it stays a superset of contact-eligible pairs only while no bead
+    has moved more than margin/2 (two beads approaching head-on close a gap
+    at twice the per-bead displacement).  The caller checks
+    ``sqrt(drift2) > margin/2`` after the chunk and rebuilds with a wider
+    margin — the reference has no such hole because it re-searches space on
+    every update (contact_map.cpp:33-63)."""
+    d2 = jnp.sum((q_pos - contact.ref_pos) ** 2, axis=1).max()
+    return contact._replace(drift2=jnp.maximum(contact.drift2, d2))
+
+
+def owns_pair(q_ids, j_ids):
+    """Parity-balanced pair ownership: the pair (i, j) lives on row i when
+    i + j is even and i < j, or when i + j is odd and i > j — exactly one
+    owner per pair either way.  The naive i < j convention piles every pair
+    of a dense neighborhood onto its lowest-index bead (chain clumps push
+    the max row load to ~5x the mean); parity splits each neighborhood
+    roughly in half, halving the required row capacity."""
+    lower = q_ids < j_ids
+    even = ((q_ids + j_ids) % 2) == 0
+    return jnp.where(even, lower, ~lower) & (q_ids != j_ids)
 
 
 def build_contact_list(
-    grid: CellGrid, table, positions, cutoff, capacity: int, query=None
+    grid: CellGrid, table, positions, cutoff, capacity: int, query=None,
+    global_ids=None,
 ) -> ContactList:
-    """Compact all pairs (i < j) with |x_i - x_j| < cutoff into row slots.
+    """Compact all pairs with |x_i - x_j| < cutoff into owner-row slots.
 
     With ``query=(q_pos, q_ids)`` only the given row block's pairs are listed
     (rows of the returned arrays correspond to the block), for spatially
-    sharded accumulation.
+    sharded accumulation.  ``q_ids`` must index the same space as the cell
+    table's entries (the self-pair exclusion compares them); when that space
+    is device-local (halo engine), pass ``global_ids`` mapping local index ->
+    global bead id: pair ownership is then decided — and partner ids stored —
+    in the global space, so row assignment is invariant to the sharding.
     """
     if query is None:
         q_pos = positions
@@ -61,7 +99,14 @@ def build_contact_list(
 
     def kernel(carry, j_ids, dx, r2, valid):
         ids, fill, over = carry
-        take = valid & (j_ids > q_ids[:, None]) & (r2 < cutoff2)
+        if global_ids is not None:
+            q_g = global_ids[q_ids]
+            j_g = jnp.where(valid, global_ids[jnp.maximum(j_ids, 0)], -1)
+            valid = valid & (j_g >= 0) & (q_g[:, None] >= 0)
+            j_ids = j_g
+            take = valid & owns_pair(q_g[:, None], j_g) & (r2 < cutoff2)
+        else:
+            take = valid & owns_pair(q_ids[:, None], j_ids) & (r2 < cutoff2)
         # Row-wise slot assignment: running fill + prefix position.
         prefix = jnp.cumsum(take.astype(jnp.int32), axis=1)
         slot = fill[:, None] + prefix - 1
@@ -79,7 +124,12 @@ def build_contact_list(
     )
     counts = jnp.zeros((nq, capacity), jnp.int32)
     return ContactList(
-        ids=ids, counts=counts, fill=jnp.minimum(fill, capacity), overflow=over
+        ids=ids,
+        counts=counts,
+        fill=jnp.minimum(fill, capacity),
+        overflow=over,
+        ref_pos=q_pos,
+        drift2=jnp.zeros((), positions.dtype),
     )
 
 
@@ -107,6 +157,47 @@ def update_contact_counts(
     return contact._replace(counts=contact.counts + hit.astype(jnp.int32))
 
 
+def compact_contact_events(
+    contact: ContactList, capacity: int, row_ids=None
+):
+    """Compress a finished segment's nonzero-count slots into fixed-size COO.
+
+    Returns (events (capacity, 3) int32 [i, j, count] with i = -1 padding,
+    n_events ()).  Uses ``jnp.nonzero(..., size=)`` — a cumsum compaction,
+    no sort — so an expiring per-segment pair list costs O(N·cap) vector
+    work, and only ``capacity`` rows ever travel to the host.  ``n_events >
+    capacity`` signals truncation (the chunk driver grows the capacity and
+    reruns; events are never silently dropped)."""
+    n, cap = contact.ids.shape
+    ids_flat = contact.ids.reshape(-1)
+    counts_flat = contact.counts.reshape(-1)
+    hit = (ids_flat >= 0) & (counts_flat > 0)
+    n_events = jnp.sum(hit).astype(jnp.int32)
+
+    sentinel = n * cap
+    (idx,) = jnp.nonzero(hit, size=capacity, fill_value=sentinel)
+    valid = idx < sentinel
+    safe = jnp.minimum(idx, sentinel - 1)
+    rows = (safe // cap).astype(jnp.int32)
+    if row_ids is not None:
+        rows = row_ids[rows].astype(jnp.int32)
+    i = jnp.where(valid, rows, -1)
+    j = jnp.where(valid, ids_flat[safe], -1)
+    c = jnp.where(valid, counts_flat[safe], 0)
+    return jnp.stack([i, j, c], axis=1), n_events
+
+
+def events_to_host(events) -> tuple:
+    """(segments, E, 3) or (E, 3) device events -> (i, j, count) numpy arrays
+    with i < j restored (rows hold either pair end under the parity-balanced
+    ownership), in the shape merge_window expects."""
+    ev = np.asarray(events).reshape(-1, 3)
+    keep = ev[:, 0] >= 0
+    a = ev[keep, 0].astype(np.int64)
+    b = ev[keep, 1].astype(np.int64)
+    return np.minimum(a, b), np.maximum(a, b), ev[keep, 2]
+
+
 def contact_list_to_host(contact: ContactList, row_ids=None):
     """Extract (i, j, count) numpy arrays (only occupied, nonzero slots).
 
@@ -121,7 +212,8 @@ def contact_list_to_host(contact: ContactList, row_ids=None):
     flat_ids = ids.reshape(-1).astype(np.int64)
     flat_counts = counts.reshape(-1)
     keep = (flat_ids >= 0) & (flat_counts > 0)
-    return rows[keep], flat_ids[keep], flat_counts[keep]
+    a, b = rows[keep], flat_ids[keep]
+    return np.minimum(a, b), np.maximum(a, b), flat_counts[keep]
 
 
 def merge_window(chunks) -> np.ndarray:

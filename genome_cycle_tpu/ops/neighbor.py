@@ -62,7 +62,7 @@ def _cell_ids(grid: CellGrid, coords):
     return (coords[:, 0] * ny + coords[:, 1]) * nz + coords[:, 2]
 
 
-def build_cell_table(grid: CellGrid, positions):
+def build_cell_table(grid: CellGrid, positions, valid=None):
     """Scatter beads into a (num_cells, capacity) table of bead indices.
 
     Returns ``(table, overflow, max_fill)``: ``table`` holds bead ids
@@ -70,11 +70,15 @@ def build_cell_table(grid: CellGrid, positions):
     capacity, and ``max_fill`` is the densest cell's occupancy — the driver
     uses both to adapt capacity between chunks (grow on overflow, shrink when
     over-provisioned).  Rank-within-cell comes from one sort by cell id
-    (deterministic layout).
+    (deterministic layout).  ``valid`` optionally masks rows out of the
+    table entirely (empty slots of a fixed-capacity bead buffer).
     """
     n = positions.shape[0]
     coords = cell_coords(grid, positions)
     cid = _cell_ids(grid, coords)
+    if valid is not None:
+        # Invalid rows sort to a virtual cell past the grid and are dropped.
+        cid = jnp.where(valid, cid, grid.num_cells)
 
     order = jnp.argsort(cid)
     sorted_cid = cid[order]
@@ -82,9 +86,12 @@ def build_cell_table(grid: CellGrid, positions):
     first_of_run = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
     rank = jnp.arange(n, dtype=jnp.int32) - first_of_run.astype(jnp.int32)
 
-    max_fill = (jnp.max(rank, initial=-1) + 1).astype(jnp.int32)
-    fits = rank < grid.capacity
-    overflow = jnp.sum(~fits).astype(jnp.int32)
+    in_grid = sorted_cid < grid.num_cells  # False only for masked rows
+    max_fill = (jnp.max(jnp.where(in_grid, rank, -1), initial=-1) + 1).astype(
+        jnp.int32
+    )
+    fits = (rank < grid.capacity) & in_grid
+    overflow = jnp.sum(~fits & in_grid).astype(jnp.int32)
     flat_index = jnp.where(
         fits,
         sorted_cid * grid.capacity + rank,

@@ -3,10 +3,20 @@
 The reference runs ensemble replicas as separate shell jobs over separate
 trajectory files and merges their contact maps downstream
 (src/cool.py:80-110; SURVEY.md §2.11).  Here the replica axis is a real
-device-mesh axis: R independent interphase systems integrate data-parallel in
-one jitted program (vmap over the replica dimension, optionally sharded over
-a ``replica`` mesh axis), each still writing its own reference-schema
-trajectory file so the downstream analysis (cool/dephase/pc1) is unchanged.
+data-parallel axis: R independent interphase systems integrate in lock-step
+in one jitted program (vmap over the replica dimension), each still writing
+its own reference-schema trajectory file so the downstream analysis
+(cool/dephase/pc1) is unchanged.
+
+Robustness matches the single-store driver: chunks that overflow a cell,
+contact-row, or event capacity — or whose drift exceeds the contact margin —
+are re-run with the grown setting via the same ``_AdaptiveEngine`` (results
+never silently drop pairs), and the scan carry checkpoints at contact-window
+boundaries so a killed run resumes without recomputing or double-counting.
+
+Pass ``mesh`` (with a "replica" axis) to shard replicas across devices: the
+carry is device_put with a replica-axis sharding and XLA partitions the
+vmapped program — replicas never communicate, so this scales linearly.
 """
 
 from __future__ import annotations
@@ -16,9 +26,15 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.interphase import EngineSettings, InterphaseModel
-from ..ops.contact import contact_list_to_host, merge_window, update_contact_counts
+from ..models.interphase import ChunkStats, EngineSettings, _AdaptiveEngine
+from ..ops.contact import (
+    contact_list_to_host,
+    events_to_host,
+    merge_window,
+    update_contact_counts,
+)
 from ..store import InterphaseContext, SimulationStore
 from ..utils.logging import progress_line
 
@@ -26,6 +42,7 @@ from ..utils.logging import progress_line
 def run_ensemble_interphase(
     stores: Sequence[SimulationStore],
     settings: Optional[EngineSettings] = None,
+    mesh: Optional[Mesh] = None,
     log=print,
 ):
     """Run the interphase stage for R replicas in lock-step.
@@ -46,79 +63,92 @@ def run_ensemble_interphase(
         if d.particle_count != n:
             raise ValueError("ensemble stores disagree on topology")
 
-    import dataclasses
+    engine = _AdaptiveEngine(designs[0], config, settings, log)
+    c = config.interphase
+    sampling = c.sampling_interval
+    window_steps = sampling * c.contactmap_output_window
 
-    if settings is None:
-        settings = EngineSettings.auto(n, config.interphase)
-    # Probe the densest cell across replicas up front; the ensemble driver
-    # keeps lock-step simplicity (no adaptive rerun loops), so capacity must
-    # be right from the start and any overflow is a hard error rather than a
-    # silent drop.
-    from ..ops.neighbor import CellGrid, build_cell_table
+    def shard_replicas(tree):
+        if mesh is None:
+            return tree
+        return jax.tree.map(
+            lambda a: jax.device_put(
+                a,
+                NamedSharding(mesh, P("replica", *([None] * (a.ndim - 1)))),
+            ),
+            tree,
+        )
 
-    cell_size = max(
-        config.interphase.a_core_diameter, config.interphase.b_core_diameter
-    )
-    probe_grid = CellGrid.cubic(
-        bound=settings.grid_bound, cell_size=cell_size, capacity=1
-    )
-    max_fill = 0
-    for store_ in stores:
-        pos0 = jnp.asarray(s_store_positions(store_), jnp.float32)
-        _, _, fill = jax.jit(lambda x: build_cell_table(probe_grid, x))(pos0)
-        max_fill = max(max_fill, int(fill))
-    needed = int(2 ** np.ceil(np.log2(max(max_fill, 8))))
-    if needed > settings.cell_capacity:
-        log(f"ensemble: probed densest cell = {max_fill}; cell capacity -> {needed}")
-        settings = dataclasses.replace(settings, cell_capacity=needed)
-
-    model = InterphaseModel.from_design(designs[0], config, settings)
-    c = model.config
-
-    def check_overflow(stats_arr, what):
-        if int(np.max(np.asarray(stats_arr))) > 0:
-            raise RuntimeError(
-                f"ensemble {what} overflow — rerun with larger capacity "
-                "(the ensemble driver does not adaptively retry)"
-            )
-
-    keys = jnp.stack(
-        [
-            jax.random.split(jax.random.PRNGKey(d.seed), 3)[2]
-            for d in designs
-        ]
-    )
-    relax_keys = jnp.stack(
-        [
-            jax.random.split(jax.random.PRNGKey(d.seed), 3)[1]
-            for d in designs
-        ]
-    )
-
+    # Probe the densest cell across replicas up front (each adaptive retry
+    # costs a compile + a slow chunk).
     positions = jnp.stack(
         [jnp.asarray(s_store_positions(s), jnp.float32) for s in stores]
     )
-    semiaxes = jnp.tile(
-        jnp.asarray(c.wall_semiaxes_init, jnp.float32), (r, 1)
+    for k in range(r):
+        engine.probe_capacity(positions[k])
+        engine.update_bound(float(np.abs(np.asarray(positions[k])).max()))
+    engine.update_cell_scale(c.core_scale_init)
+
+    keys = jnp.stack(
+        [jax.random.split(jax.random.PRNGKey(d.seed), 3)[2] for d in designs]
     )
+    relax_keys = jnp.stack(
+        [jax.random.split(jax.random.PRNGKey(d.seed), 3)[1] for d in designs]
+    )
+    semiaxes = jnp.tile(jnp.asarray(c.wall_semiaxes_init, jnp.float32), (r, 1))
 
-    # ---- relaxation (vmapped) ---------------------------------------------
-    def relax_chunk(carry):
-        def one(x, key, semi):
-            def body(cr, s):
-                return model.relaxation_step(cr, s), None
+    # Vmapped chunk builders, cached per engine bundle (capacity change =>
+    # new model => new compile; revisiting a capacity is free).
+    vm_cache: dict = {}
 
-            stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-            (x, key, semi, stats), _ = jax.lax.scan(
-                body, (x, key, semi, stats),
-                jnp.arange(c.relaxation_sampling_interval),
-            )
-            return x, key, semi, stats
+    def vm_bundle(relax: bool = False):
+        bundle = engine.bundle(relax=relax)
+        model = bundle["model"]
+        cache_key = (id(model), relax)
+        if cache_key not in vm_cache:
+            if relax:
+                def one(x, key, semi):
+                    stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+                    (x, key, semi, stats), _ = jax.lax.scan(
+                        lambda cr, s: (model.relaxation_step(cr, s), None),
+                        (x, key, semi, stats),
+                        jnp.arange(c.relaxation_sampling_interval),
+                    )
+                    return x, key, semi, stats
 
-        return jax.vmap(one)(*carry)
+                vm_cache[cache_key] = jax.jit(jax.vmap(one))
+            else:
+                seg_len = model.rebuild_interval(sampling)
+                segment = model.interphase_segment(seg_len)
+                n_segments = sampling // seg_len
 
-    relax_chunk = jax.jit(relax_chunk)
+                def one_segment(x, key, semi, stats, start):
+                    carry, ev = segment((x, key, semi, stats), start)
+                    return (*carry, ev)
 
+                # One jitted vmapped segment; segments dispatched from a
+                # host loop (nested scans crash the current TPU runtime —
+                # see InterphaseModel.make_interphase_chunk).
+                vseg = jax.jit(jax.vmap(one_segment, in_axes=(0, 0, 0, 0, None)))
+
+                def chunk(x, key, semi, start):
+                    stats = jax.tree.map(
+                        lambda a: jnp.broadcast_to(a, (r,) + a.shape),
+                        ChunkStats.zero(x.dtype),
+                    )
+                    events = []
+                    start = jnp.asarray(start, jnp.int32)
+                    for k in range(n_segments):
+                        x, key, semi, stats, ev = vseg(
+                            x, key, semi, stats, start + k * seg_len
+                        )
+                        events.append(ev)
+                    return x, key, semi, stats, jnp.stack(events, axis=1)
+
+                vm_cache[cache_key] = chunk
+        return vm_cache[cache_key], model
+
+    # ---- relaxation (vmapped, adaptive) -------------------------------------
     for store in stores:
         store.set_stage("relaxation")
         store.clear_frames()
@@ -138,106 +168,112 @@ def run_ensemble_interphase(
             store.append_frame(step)
 
     sample_relax(0, positions)
-    carry = (positions, relax_keys, semiaxes)
+    x, rkeys, semis = shard_replicas((positions, relax_keys, semiaxes))
     for chunk in range(c.relaxation_steps // c.relaxation_sampling_interval):
-        x, k, s, stats = relax_chunk(carry)
-        check_overflow(stats[0], "cell capacity")
-        carry = (x, k, s)
+        while True:
+            relax_chunk, _ = vm_bundle(relax=True)
+            x2, rk2, s2, stats = relax_chunk(x, rkeys, semis)
+            if int(np.max(np.asarray(stats[0]))) > 0:
+                engine.grow_cells()
+                continue
+            break
+        x, rkeys, semis = x2, rk2, s2
         step = (chunk + 1) * c.relaxation_sampling_interval
         sample_relax(step, x)
         log(progress_line("relaxation", step, t=0.0))
-    positions = carry[0]
+    positions = x
 
-    # ---- interphase (vmapped) ---------------------------------------------
+    # ---- interphase (vmapped, adaptive, checkpointed) ------------------------
     for store in stores:
         store.set_stage("interphase")
-        store.clear_frames()
 
-    sampling = c.sampling_interval
-    window_steps = sampling * c.contactmap_output_window
+    # Resume only when every store holds a checkpoint at the same window
+    # boundary (windows flush there, so no contact is double-counted).
+    checkpoints = [s.load_checkpoint() for s in stores]
+    resume_step = 0
+    if all(cp is not None for cp in checkpoints):
+        steps_at = {int(cp["step"]) for cp in checkpoints}
+        if len(steps_at) == 1 and 0 < next(iter(steps_at)) < c.steps:
+            resume_step = next(iter(steps_at))
+            log(f"resuming ensemble interphase from step {resume_step}")
 
-    def inter_chunk(carry, start):
-        def one(x, key, semi, cids, ccounts):
-            from ..ops.contact import ContactList
-
-            contact = ContactList(
-                ids=cids, counts=ccounts,
-                fill=jnp.zeros((cids.shape[0],), jnp.int32),
-                overflow=jnp.zeros((), jnp.int32),
-            )
-            stats = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-
-            def body(cr, s):
-                return model.interphase_step(cr, s), None
-
-            (x, key, semi, contact, stats), _ = jax.lax.scan(
-                body, (x, key, semi, contact, stats),
-                start + 1 + jnp.arange(sampling),
-            )
-            return x, key, semi, contact.ids, contact.counts, stats
-
-        return jax.vmap(one)(*carry)
-
-    inter_chunk = jax.jit(inter_chunk)
-
-    def fresh_contacts(positions, step):
-        core_now, _ = model.scales(jnp.asarray(step * c.timestep))
-        contacts = [
-            model.fresh_contact_list(positions[k], float(core_now))
-            for k in range(r)
-        ]
-        ids = jnp.stack([ct.ids for ct in contacts])
-        counts = jnp.stack([ct.counts for ct in contacts])
-        return ids, counts
-
-    # callback(0) semantics of the reference / single-store driver: sample
-    # frame 0, one contact update, dump-and-clear the step-0 window, then a
-    # reaction-free wall update before step 1.
-    core0, _ = model.scales(jnp.asarray(0.0))
-    contacts0 = [
-        update_contact_counts(
-            model.fresh_contact_list(positions[k], float(core0)),
-            positions[k],
-            c.contactmap_distance * float(core0),
+    if resume_step:
+        positions = jnp.stack(
+            [jnp.asarray(cp["positions"], jnp.float32) for cp in checkpoints]
         )
-        for k in range(r)
-    ]
-    for k, store in enumerate(stores):
-        store.save_positions(0, np.asarray(positions[k]))
-        store.save_interphase_context(
-            0,
-            InterphaseContext(
-                time=0.0,
-                wall_semiaxes=tuple(float(v) for v in np.asarray(semiaxes[k])),
-                core_scale=float(core0),
-                bond_scale=float(model.scales(jnp.asarray(0.0))[1]),
-            ),
+        semiaxes = jnp.stack(
+            [jnp.asarray(cp["semiaxes"], jnp.float32) for cp in checkpoints]
         )
-        coo0 = merge_window([contact_list_to_host(contacts0[k])])
-        store.save_contacts(0, coo0)
-        store.append_frame(0)
-    spring = jnp.asarray(c.wall_semiaxes_spring, jnp.float32)
-    semiaxes = semiaxes + c.timestep * c.wall_mobility * (0.0 - spring * semiaxes)
+        keys = jnp.stack(
+            [jnp.asarray(cp["key"], jnp.uint32) for cp in checkpoints]
+        )
+        for store in stores:
+            store.truncate_frames(resume_step)
+    else:
+        for store in stores:
+            store.clear_frames()
+        # callback(0) semantics of the reference / single-store driver:
+        # sample frame 0, one contact update, dump-and-clear the step-0
+        # window, then a reaction-free wall update before step 1.
+        _, model0 = vm_bundle()
+        core0, _ = model0.scales(jnp.asarray(0.0))
+        for k, store in enumerate(stores):
+            contact0 = update_contact_counts(
+                model0.fresh_contact_list(positions[k], float(core0)),
+                positions[k],
+                c.contactmap_distance * float(core0),
+            )
+            store.save_positions(0, np.asarray(positions[k]))
+            store.save_interphase_context(
+                0,
+                InterphaseContext(
+                    time=0.0,
+                    wall_semiaxes=tuple(
+                        float(v) for v in np.asarray(semiaxes[k])
+                    ),
+                    core_scale=float(core0),
+                    bond_scale=float(model0.scales(jnp.asarray(0.0))[1]),
+                ),
+            )
+            store.save_contacts(0, merge_window([contact_list_to_host(contact0)]))
+            store.append_frame(0)
+        spring = jnp.asarray(c.wall_semiaxes_spring, jnp.float32)
+        semiaxes = semiaxes + c.timestep * c.wall_mobility * (
+            0.0 - spring * semiaxes
+        )
 
     window_chunks: list[list] = [[] for _ in range(r)]
-    ids, counts = fresh_contacts(positions, 0)
-    carry = (positions, keys, semiaxes, ids, counts)
+    x, keys_c, semis = shard_replicas((positions, keys, semiaxes))
 
-    for chunk in range(c.steps // sampling):
+    for chunk in range(resume_step // sampling, c.steps // sampling):
         start = chunk * sampling
-        x, k, semis, ids, counts, stats = inter_chunk(carry, jnp.asarray(start))
-        check_overflow(stats[0], "cell capacity")
+        while True:
+            inter_chunk, model = vm_bundle()
+            x2, k2, s2, stats, events = inter_chunk(
+                x, keys_c, semis, jnp.asarray(start)
+            )
+            if int(np.max(np.asarray(stats.cell_overflow))) > 0:
+                engine.grow_cells()
+                continue
+            if int(np.max(np.asarray(stats.contact_overflow))) > 0:
+                engine.grow_contacts()
+                continue
+            if int(np.max(np.asarray(stats.event_overflow))) > 0:
+                engine.grow_events(model)
+                continue
+            drift = float(np.sqrt(np.max(np.asarray(stats.drift2))))
+            if drift > engine.contact_margin / 2:
+                engine.handle_drift()
+                continue
+            break
+        x, keys_c, semis = x2, k2, s2
+        engine.shrink_cells_if_idle(int(np.max(np.asarray(stats.cell_fill))))
         step = start + sampling
-
-        from ..ops.contact import ContactList
+        core_next, _ = model.scales(jnp.asarray((start + 2 * sampling) * c.timestep))
+        engine.update_cell_scale(float(core_next))
 
         for i in range(r):
-            contact = ContactList(
-                ids=ids[i], counts=counts[i],
-                fill=jnp.zeros((n,), jnp.int32),
-                overflow=jnp.zeros((), jnp.int32),
-            )
-            window_chunks[i].append(contact_list_to_host(contact))
+            window_chunks[i].append(events_to_host(events[i]))
 
         dump = step % window_steps == 0
         core, bond = model.scales(jnp.asarray(step * c.timestep))
@@ -251,18 +287,27 @@ def run_ensemble_interphase(
             store.save_positions(step, np.asarray(x[i]))
             store.save_interphase_context(step, ctx)
             if dump:
-                coo = merge_window(window_chunks[i])
-                store.save_contacts(step, coo)
+                store.save_contacts(step, merge_window(window_chunks[i]))
                 window_chunks[i] = []
             store.append_frame(step)
+
+        if dump:
+            for i, store in enumerate(stores):
+                store.save_checkpoint(
+                    step,
+                    {
+                        "positions": np.asarray(x[i]),
+                        "semiaxes": np.asarray(semis[i]),
+                        "key": np.asarray(keys_c[i]),
+                    },
+                )
 
         if step % c.logging_interval == 0:
             log(progress_line("interphase", step, t=step * c.timestep))
 
-        ids, counts = fresh_contacts(x, step)
-        carry = (x, k, semis, ids, counts)
-
-    return np.asarray(carry[0])
+    for store in stores:
+        store.clear_checkpoint()
+    return np.asarray(x)
 
 
 def s_store_positions(store: SimulationStore) -> np.ndarray:

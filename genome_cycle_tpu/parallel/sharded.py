@@ -101,11 +101,12 @@ def make_sharded_interphase_step(model: InterphaseModel, mesh: Mesh):
 
         # Contact update on owned rows.
         core_now, _ = model.scales(step.astype(pos.dtype) * dt)
+        new_q = jax.lax.dynamic_slice(pos, (offset, 0), (rows, 3))
         contact = ContactList(
             ids=cids, counts=ccounts, fill=jnp.zeros((rows,), jnp.int32),
             overflow=jnp.zeros((), jnp.int32),
+            ref_pos=new_q, drift2=jnp.zeros((), pos.dtype),
         )
-        new_q = jax.lax.dynamic_slice(pos, (offset, 0), (rows, 3))
         contact = jax.lax.cond(
             step % c.contactmap_update_interval == 0,
             lambda ct: update_contact_counts(

@@ -1,0 +1,191 @@
+"""Quantitative stochastic-equivalence gate vs a C++ surrogate reference.
+
+The reference binaries cannot be built here (micromd not vendored), so
+genome_cycle_tpu/native/surrogate_ref.cpp re-implements the complete G1 step
+with the reference's semantics and defaults in single-threaded C++.  Both
+engines integrate the SAME small system from the SAME initial structure with
+independent RNGs; their time-integrated contact maps must agree to Pearson
+r >= 0.95 (BASELINE.md acceptance metric), and equilibrium distribution
+statistics (bond-length second moment, radius of gyration) must match within
+tight relative tolerances.
+"""
+
+import json
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+N, CHAINS = 600, 2
+STEPS, BURNIN, CHUNK = 6000, 2000, 1000
+# Contact maps of SINGLE runs decorrelate from the shared initial structure
+# (slow conformational mixing), so two perfectly matched engines only agree
+# to r ~ 0.88 run-vs-run.  Summing an ensemble of short runs averages the
+# configuration-specific part away: 6 C++ replicas vs 6 more C++ replicas
+# reach r = 0.978, so the 0.95 gate has headroom against noise while still
+# failing on any real force-field discrepancy.
+REPLICAS = 6
+
+
+@pytest.fixture(scope="module")
+def surrogate_exe(tmp_path_factory):
+    exe = tmp_path_factory.mktemp("native") / "surrogate_ref"
+    src = REPO / "genome_cycle_tpu" / "native" / "surrogate_ref.cpp"
+    subprocess.run(
+        ["g++", "-O2", "-march=native", "-funsafe-math-optimizations",
+         "-std=c++17", "-o", str(exe), str(src)],
+        check=True, capture_output=True,
+    )
+    return exe
+
+
+def walk_init(n, chains, radius=0.8, seed=11):
+    import bench
+
+    return bench._chain_walk(n, chains, radius, seed=seed)
+
+
+def dense_map(i, j, c, n):
+    m = np.zeros((n, n))
+    np.add.at(m, (i, j), c)
+    return m
+
+
+def run_jax_engine(x0, seed):
+    import __graft_entry__ as ge
+    from genome_cycle_tpu.models.interphase import ChunkStats, EngineSettings
+    from genome_cycle_tpu.ops.contact import events_to_host, merge_window
+
+    # Generous static capacities: the walk-chain init is locally dense, and
+    # any overflow is asserted zero below (an overflowed map is invalid).
+    settings = EngineSettings(
+        cell_capacity=64, contact_capacity=512, contact_margin=0.4,
+        grid_bound=4.0, dense_bound=2.0, use_dense_grid=False,
+    )
+    model = ge._make_model(n_beads=N, chains=CHAINS, settings=settings)
+    assert model.n == N
+    chunk = model.make_interphase_chunk(CHUNK)
+
+    x = jnp.asarray(x0, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    semiaxes = jnp.asarray([2.0, 2.0, 2.0], jnp.float32)
+    carry = (x, key, semiaxes, ChunkStats.zero(jnp.float32))
+
+    window = []
+    for k in range(STEPS // CHUNK):
+        start = k * CHUNK
+        carry, events = chunk(carry, jnp.asarray(start))
+        if start >= BURNIN:
+            window.append(events_to_host(events))
+    stats = carry[3]
+    assert int(stats.cell_overflow) == 0
+    assert int(stats.contact_overflow) == 0
+    assert int(stats.event_overflow) <= 0
+    # The per-segment margin assumption must hold for the map to be exact.
+    assert float(np.sqrt(stats.drift2)) <= 0.4 / 2
+
+    coo = merge_window(window)
+    x_final = np.asarray(carry[0])
+
+    bonds = np.concatenate(
+        [
+            np.sum(
+                (x_final[c * (N // CHAINS) + 1 : (c + 1) * (N // CHAINS)]
+                 - x_final[c * (N // CHAINS) : (c + 1) * (N // CHAINS) - 1])
+                ** 2,
+                axis=1,
+            )
+            for c in range(CHAINS)
+        ]
+    )
+    center = x_final.mean(axis=0)
+    rg = float(np.sqrt(np.mean(np.sum((x_final - center) ** 2, axis=1))))
+    return coo, float(bonds.mean()), rg
+
+
+def run_surrogate(exe, x0, tmp_path, seed):
+    init = tmp_path / "init.txt"
+    np.savetxt(init, x0, fmt="%.7f")
+    out = tmp_path / "ref_contacts.tsv"
+    proc = subprocess.run(
+        [str(exe), str(init), str(N), str(CHAINS), str(STEPS), str(BURNIN),
+         str(seed), str(out)],
+        check=True, capture_output=True, text=True, timeout=600,
+    )
+    stats = json.loads(proc.stdout.strip())
+    data = np.loadtxt(out, dtype=np.int64).reshape(-1, 3)
+    return data, stats
+
+
+def test_contact_map_pearson_vs_surrogate(surrogate_exe, tmp_path):
+    x0 = walk_init(N, CHAINS)
+
+    ref_map = np.zeros((N, N))
+    ref_bonds, ref_rgs = [], []
+    for s in range(REPLICAS):
+        coo, stats = run_surrogate(surrogate_exe, x0, tmp_path, 4242 + s)
+        ref_map += dense_map(coo[:, 0], coo[:, 1], coo[:, 2], N)
+        ref_bonds.append(stats["bond_r2_mean"])
+        ref_rgs.append(stats["rg"])
+    ref_stats = {"bond_r2_mean": np.mean(ref_bonds), "rg": np.mean(ref_rgs)}
+
+    jax_map = np.zeros((N, N))
+    jax_bonds, jax_rgs = [], []
+    for s in range(REPLICAS):
+        coo, bond_r2, rg = run_jax_engine(x0, 777 + s)
+        jax_map += dense_map(coo[:, 0], coo[:, 1], coo[:, 2], N)
+        jax_bonds.append(bond_r2)
+        jax_rgs.append(rg)
+    jax_bond_r2, jax_rg = float(np.mean(jax_bonds)), float(np.mean(jax_rgs))
+
+    iu, ju = np.triu_indices(N, k=1)
+    a, b = ref_map[iu, ju], jax_map[iu, ju]
+    r = float(np.corrcoef(a, b)[0, 1])
+    total_ratio = jax_map.sum() / max(ref_map.sum(), 1)
+    print(
+        f"contact-map Pearson r = {r:.4f}  "
+        f"(events ref={int(ref_map.sum())}, jax={int(jax_map.sum())}, "
+        f"ratio {total_ratio:.3f})"
+    )
+    assert r >= 0.95
+
+    # Total contact activity within 10% (same physics, independent noise).
+    assert 0.9 < total_ratio < 1.1
+
+    # Bond-length second moment: equilibrium thermal value, both engines.
+    ref_bond = ref_stats["bond_r2_mean"]
+    print(f"bond <r^2>: ref={ref_bond:.5f} jax={jax_bond_r2:.5f}")
+    assert jax_bond_r2 == pytest.approx(ref_bond, rel=0.1)
+
+    # Radius of gyration of the final structure.
+    print(f"Rg: ref={ref_stats['rg']:.4f} jax={jax_rg:.4f}")
+    assert jax_rg == pytest.approx(ref_stats["rg"], rel=0.1)
+
+    # Contact-probability-vs-separation curve P(s): the polymer-physics
+    # fingerprint.  Octave-binned (per-separation tails are count-noise
+    # dominated); gate on the max log10 deviation between the curves.
+    sep = ju - iu
+    max_s = N // CHAINS
+    ref_ps = np.bincount(sep, weights=a, minlength=max_s)[1:max_s]
+    jax_ps = np.bincount(sep, weights=b, minlength=max_s)[1:max_s]
+    octave = np.floor(np.log2(np.arange(1, max_s))).astype(int)
+    ref_oct = np.bincount(octave, weights=ref_ps)
+    jax_oct = np.bincount(octave, weights=jax_ps)
+    both = (ref_oct > 100) & (jax_oct > 100)
+    # Drop the truncated final octave: the few longest-separation contacts
+    # are configuration-specific (chain ends), not force-field physics.
+    both &= np.arange(len(ref_oct)) < int(np.log2(max_s - 1))
+    dev = np.abs(np.log10(ref_oct[both]) - np.log10(jax_oct[both]))
+    print(
+        f"P(s) octave curve: max |dlog10| = {dev.max():.4f} over "
+        f"{both.sum()} octaves"
+    )
+    assert dev.max() <= 0.15

@@ -125,6 +125,45 @@ def test_contact_margin_tracks_moved_beads(rng):
     np.testing.assert_array_equal(coo, [[0, 1, 1]])
 
 
+def test_contact_drift_guard_catches_fast_bead(rng):
+    # A bead sprinting past margin/2 raises the drift watermark; rebuilding
+    # with the widened margin lists (and counts) the approaching pair the
+    # frozen list would silently have missed.
+    from genome_cycle_tpu.ops.contact import track_drift
+
+    distance, margin = 0.24, 0.25
+    # Start 0.6 apart: outside cutoff = distance + margin = 0.49, so the
+    # pair is NOT on the initial list.
+    positions = jnp.asarray([[0.0, 0, 0], [0.6, 0, 0], [0, 0.9, 0]], jnp.float32)
+    grid = CellGrid.cubic(bound=1.5, cell_size=0.49, capacity=8)
+    table, _, _ = build_cell_table(grid, positions)
+    contact = build_contact_list(
+        grid, table, positions, cutoff=distance + margin, capacity=4
+    )
+    assert float(contact.drift2) == 0.0
+
+    # Bead 1 sprints into contact range: a frozen list misses the pair...
+    moved = positions.at[1, 0].set(0.2)
+    contact = track_drift(contact, moved)
+    counted = update_contact_counts(contact, moved, distance)
+    i, j, c = contact_list_to_host(counted)
+    assert len(merge_window([(i, j, c)])) == 0  # the silent-miss hazard
+
+    # ...but the watermark exposes it, so the driver rebuilds wider.
+    drift = float(jnp.sqrt(contact.drift2))
+    assert drift > margin / 2
+
+    wide = 2 * margin
+    grid2 = CellGrid.cubic(bound=1.5, cell_size=distance + wide, capacity=8)
+    table2, _, _ = build_cell_table(grid2, positions)
+    rebuilt = build_contact_list(
+        grid2, table2, positions, cutoff=distance + wide, capacity=4
+    )
+    rebuilt = update_contact_counts(rebuilt, moved, distance)
+    i, j, c = contact_list_to_host(rebuilt)
+    np.testing.assert_array_equal(merge_window([(i, j, c)]), [[0, 1, 1]])
+
+
 def test_dense_slab_vs_brute_force(rng):
     """Dense cell-slab pair engine against O(N^2) brute force."""
     from genome_cycle_tpu.ops.dense_grid import (

@@ -140,6 +140,8 @@ def test_sharded_contacts_match_single_device(rng):
                     counts=jnp.asarray(counts),
                     fill=jnp.zeros(ids.shape[0], jnp.int32),
                     overflow=jnp.zeros((), jnp.int32),
+                    ref_pos=jnp.zeros((ids.shape[0], 3), jnp.float32),
+                    drift2=jnp.zeros((), jnp.float32),
                 )
             )
         ]
