@@ -127,7 +127,9 @@ def _plan(n_beads: int):
     dt = 1e-5
     t_end = (1 + TIMED_REPS) * BENCH_STEPS * dt
     core_end = 1.0 - 0.5 * math.exp(-t_end / 0.5)
-    bucket = next(b for b in (0.5, 0.75, 1.0) if core_end <= b + 1e-6)
+    bucket = next(
+        b for b in (0.5, 0.55, 0.65, 0.75, 0.85, 1.0) if core_end <= b + 1e-6
+    )
 
     dense_bound = radius + 0.5
     cell = 0.3 * bucket
@@ -140,13 +142,10 @@ def _plan(n_beads: int):
     partners = _max_contact_partners(x, contact_cutoff)
     contact_capacity = _round_up(max(int(partners * 1.3), 32), 32)
 
-    # The contact grid multiplies cell_capacity by the cell-volume ratio
-    # internally; verify the product covers its own densest cell.
+    # Contact-list search grid: its own capacity, probed at its own cell.
     contact_cell = 0.24 + margin
     contact_fill = _grid_max_fill(x, radius + 1.0, contact_cell)
-    ratio = max(1, int(np.ceil((contact_cell / 0.3) ** 3)))
-    if cell_capacity * ratio < int(contact_fill * 1.3):
-        cell_capacity = _round_up(int(contact_fill * 1.3 / ratio) + 1, 32)
+    contact_cell_capacity = _round_up(max(int(contact_fill * 1.3), 32), 32)
 
     return dict(
         n_beads=n_beads,
@@ -156,6 +155,7 @@ def _plan(n_beads: int):
         cell=cell,
         cell_capacity=cell_capacity,
         contact_capacity=contact_capacity,
+        contact_cell_capacity=contact_cell_capacity,
         margin=margin,
     )
 
@@ -172,6 +172,7 @@ def _measure_variant(n_beads: int, use_pallas: bool):
     settings = EngineSettings(
         cell_capacity=plan["cell_capacity"],
         contact_capacity=plan["contact_capacity"],
+        contact_cell_capacity=plan["contact_cell_capacity"],
         contact_margin=plan["margin"],
         grid_bound=plan["radius"] + 1.0,
         dense_bound=plan["dense_bound"],

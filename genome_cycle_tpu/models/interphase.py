@@ -65,13 +65,21 @@ class EngineSettings:
     contact_margin: float = 0.25
     # The contact pair list is rebuilt inside the scan every this many steps:
     # a frozen per-chunk list silently misses pairs once any bead drifts past
-    # margin/2 (free-diffusion rms over 1000 steps is ~2x that), so the list
-    # lives only as long as its margin provably covers (drift is tracked and
-    # the margin grows if ever exceeded).  Rounded down to a divisor of the
-    # chunk length at chunk-build time.
-    contact_rebuild_interval: int = 50
+    # margin/2 (measured equilibrium max drift at production density: 0.098
+    # over 25 steps, 0.127 over 50 — margin 0.25 covers ~40 steps), so the
+    # list lives only as long as its margin provably covers; drift is
+    # watermarked and the engine shortens the lifetime (then widens the
+    # margin) when exceeded.  Builds are cheap (one cell pass), so the
+    # default matches the tick interval.  Adjusted to a divisor of the chunk
+    # length (preferring tick multiples) at chunk-build time.
+    contact_rebuild_interval: int = 20
     # Fixed per-segment event-buffer rows (None = auto: ~8 rows per bead).
     contact_events_capacity: Optional[int] = None
+    # Per-cell capacity of the (coarser) contact-list search grid (None =
+    # auto: cell_capacity scaled by the cell-volume ratio).  Decoupled from
+    # cell_capacity so contact-grid occupancy cannot inflate the dense pair
+    # engine's quadratic per-cell cost.
+    contact_cell_capacity: Optional[int] = None
     grid_bound: float = 8.0
     dtype: str = "float32"
     # Dense-slab pair engine (gather-free; the TPU-fast path).  The gather
@@ -198,7 +206,7 @@ class InterphaseModel:
         # 27-cell stencil needs cells at least that big or pairs at the edge
         # of the margin are silently missed.
         contact_cell = icfg.contactmap_distance + settings.contact_margin
-        contact_capacity_cells = int(
+        contact_capacity_cells = settings.contact_cell_capacity or int(
             settings.cell_capacity
             * max(1, int(np.ceil((contact_cell / cell_size) ** 3)))
         )
@@ -514,9 +522,10 @@ class InterphaseModel:
         )
         return (x, key, semiaxes, stats)
 
-    def interphase_step(self, carry, step):
-        """One G1 step: forces at lagged scales, BD update, contact count,
-        wall ODE (simulation_driver_interphase.cpp:16-63,79-90)."""
+    def _bd_step(self, carry, step):
+        """Forces at lagged scales, BD update, drift watermark, wall ODE —
+        everything except the contact tick
+        (simulation_driver_interphase.cpp:16-63,79-90)."""
         x, key, semiaxes, contact, stats = carry
         c = self.config
         dt = c.timestep
@@ -533,20 +542,9 @@ class InterphaseModel:
             x, forces, self.mobility, sub, BDParams(c.temperature, dt)
         )
 
-        # Contact-map update every contactmap_update_interval steps, at the
-        # post-update positions and current (post-step) contact distance.
-        # Drift tracking guards the frozen pair list: the chunk driver
-        # rebuilds with a wider margin when displacement exceeds margin/2.
+        # Drift tracking guards the per-segment pair list: the chunk driver
+        # shortens the list lifetime when displacement exceeds margin/2.
         contact = track_drift(contact, x)
-        core_scale_now, _ = self.scales(step.astype(x.dtype) * dt)
-        contact = jax.lax.cond(
-            step % c.contactmap_update_interval == 0,
-            lambda ct: update_contact_counts(
-                ct, x, c.contactmap_distance * core_scale_now
-            ),
-            lambda ct: ct,
-            contact,
-        )
 
         # Wall ODE: overdamped motion of the semiaxes under chromatin pressure
         # (simulation_driver_interphase.cpp:79-90).
@@ -554,6 +552,35 @@ class InterphaseModel:
         semiaxes = semiaxes + dt * c.wall_mobility * (reaction - spring * semiaxes)
 
         return (x, key, semiaxes, contact, stats)
+
+    def _contact_tick(self, carry, step):
+        """Count contact events at the post-update positions and post-step
+        distance (reference cadence: contact_map.cpp:33-63)."""
+        x, key, semiaxes, contact, stats = carry
+        c = self.config
+        core_now, _ = self.scales(
+            jnp.asarray(step, x.dtype) * c.timestep
+        )
+        contact = update_contact_counts(
+            contact, x, c.contactmap_distance * core_now
+        )
+        return (x, key, semiaxes, contact, stats)
+
+    def interphase_step(self, carry, step):
+        """One G1 step including the conditional contact tick.
+
+        Kept as the readable single-step reference (compile checks, tests).
+        Hot chunks use :meth:`interphase_segment`, which restructures the
+        tick into block boundaries: under ``lax.scan`` on the current TPU
+        runtime this ``cond`` pays its tick branch EVERY step — measured 50x
+        the intended amortized cost."""
+        carry = self._bd_step(carry, step)
+        return jax.lax.cond(
+            step % self.config.contactmap_update_interval == 0,
+            lambda cr: self._contact_tick(cr, step),
+            lambda cr: cr,
+            carry,
+        )
 
     def fresh_contact_list(self, positions, core_scale) -> ContactList:
         table, _, _ = build_cell_table(self.contact_grid, positions)
@@ -576,11 +603,17 @@ class InterphaseModel:
 
     def rebuild_interval(self, chunk_steps: int) -> int:
         """Largest divisor of the chunk length not exceeding the requested
-        contact rebuild cadence (segments must tile the chunk exactly)."""
-        r = min(self.settings.contact_rebuild_interval, chunk_steps)
-        while chunk_steps % r:
-            r -= 1
-        return r
+        contact rebuild cadence (segments must tile the chunk exactly),
+        preferring multiples of the contact tick interval so segments can
+        run tick-free inner scans with ticks at block boundaries."""
+        tick = self.config.contactmap_update_interval
+        want = min(self.settings.contact_rebuild_interval, chunk_steps)
+        divisors = [
+            d for d in range(1, chunk_steps + 1)
+            if chunk_steps % d == 0 and d <= want
+        ]
+        ticked = [d for d in divisors if d % tick == 0]
+        return max(ticked) if ticked else max(divisors)
 
     def interphase_segment(self, seg_steps: int):
         """(carry, seg_start) -> (carry, events): one contact-list lifetime.
@@ -609,11 +642,29 @@ class InterphaseModel:
             )
             inner = (x, key, semiaxes, contact, (stats.cell_overflow,
                                                  stats.cell_fill))
-            inner, _ = jax.lax.scan(
-                lambda cr, s: (self.interphase_step(cr, s), None),
-                inner,
-                seg_start + 1 + jnp.arange(seg_steps),
-            )
+            tick = c.contactmap_update_interval
+            if seg_steps % tick == 0:
+                # Tick-free inner scans with the tick at each block's end:
+                # chunk starts are multiples of the tick interval, so the
+                # block boundary IS the step where step % tick == 0.  (A
+                # per-step lax.cond pays its tick branch every step under
+                # scan on the current TPU runtime — 50x the amortized cost.)
+                for blk in range(seg_steps // tick):
+                    block_start = seg_start + blk * tick
+                    inner, _ = jax.lax.scan(
+                        lambda cr, s: (self._bd_step(cr, s), None),
+                        inner,
+                        block_start + 1 + jnp.arange(tick),
+                    )
+                    inner = self._contact_tick(inner, block_start + tick)
+            else:
+                # Exotic cadence (tick does not divide the segment): fall
+                # back to the conditional per-step form.
+                inner, _ = jax.lax.scan(
+                    lambda cr, s: (self.interphase_step(cr, s), None),
+                    inner,
+                    seg_start + 1 + jnp.arange(seg_steps),
+                )
             x, key, semiaxes, contact, (ov, fill) = inner
             events, n_events = compact_contact_events(
                 contact, self.events_capacity
@@ -715,7 +766,7 @@ class _AdaptiveEngine:
         """Smallest dense cell-size bucket covering the current cutoff."""
         if self.brute:
             return
-        for bucket in (0.5, 0.75, 1.0):
+        for bucket in (0.5, 0.55, 0.65, 0.75, 0.85, 1.0):
             if core_scale <= bucket + 1e-6:
                 break
         if bucket != self.dense_cell_scale:
@@ -800,8 +851,9 @@ class _AdaptiveEngine:
         within that bound.  Prefer shortening the list lifetime (rebuilds
         cost one cell pass) over widening the margin (row capacity — and the
         every-20-step tick cost — grow with the margin cubed)."""
-        if self.rebuild_interval > 25:
-            self.rebuild_interval = max(self.rebuild_interval // 2, 25)
+        floor = self.config.interphase.contactmap_update_interval
+        if self.rebuild_interval > floor:
+            self.rebuild_interval = max(self.rebuild_interval // 2, floor)
             self.log(
                 f"engine: drift exceeded margin/2; contact rebuild interval "
                 f"-> {self.rebuild_interval}"

@@ -431,36 +431,6 @@ def make_halo_segment(
         new_pos = own_pos + mob[:, None] * force * dt + noise_amp[:, None] * xi
         new_pos = jnp.where(own_valid[:, None], new_pos, FAR)
 
-        # Contact tick on owner rows at post-update positions (reference
-        # cadence): partner positions resolve via the NEXT exchange's slot
-        # map — rebuild the local view cheaply for the tick.
-        core_now, _ = model.scales(step.astype(jnp.float32) * dt)
-
-        def tick(args):
-            contact, misses = args
-            t_pos, t_ids, t_valid, _, _ = exchange(new_pos, own_ids, shard)
-            t_slots = slot_map(t_ids, t_valid)
-            pid = contact.ids  # (B, cap) global partner ids
-            have = pid >= 0
-            ps = t_slots[jnp.maximum(pid, 0)]
-            resolvable = have & (ps >= 0)
-            pj = t_pos[jnp.maximum(ps, 0)]
-            r2 = jnp.zeros(pid.shape, new_pos.dtype)
-            for k in range(3):
-                dk = new_pos[:, k, None] - pj[..., k]
-                r2 = r2 + dk * dk
-            dist = c.contactmap_distance * core_now
-            hit = resolvable & (r2 < dist * dist)
-            misses = misses + jnp.sum(have & ~resolvable).astype(jnp.int32)
-            return contact._replace(counts=contact.counts + hit.astype(jnp.int32)), misses
-
-        contact, c_miss = jax.lax.cond(
-            step % c.contactmap_update_interval == 0,
-            tick,
-            lambda args: args,
-            (contact, jnp.zeros((), jnp.int32)),
-        )
-
         drift2 = jnp.max(
             jnp.where(own_valid, jnp.sum((new_pos - contact.ref_pos) ** 2, axis=1), 0.0)
         )
@@ -474,12 +444,40 @@ def make_halo_segment(
             band_overflow=jnp.maximum(stats.band_overflow, band_ov),
             bond_misses=stats.bond_misses + bond_miss,
             contact_overflow=stats.contact_overflow,
-            contact_misses=stats.contact_misses + c_miss,
+            contact_misses=stats.contact_misses,
             event_overflow=stats.event_overflow,
             drift2=jnp.maximum(stats.drift2, drift2),
             excursion=jnp.maximum(stats.excursion, excursion),
         )
         return (new_pos, own_ids, key, semiaxes, contact, stats), None
+
+    def contact_tick(carry, step):
+        """Count contact events on owner rows at the current positions:
+        partner positions resolve through a fresh halo exchange's slot map."""
+        own_pos, own_ids, key, semiaxes, contact, stats = carry
+        shard = jax.lax.axis_index("beads")
+        core_now, _ = model.scales(jnp.asarray(step, jnp.float32) * dt)
+        t_pos, t_ids, t_valid, _, _ = exchange(own_pos, own_ids, shard)
+        t_slots = slot_map(t_ids, t_valid)
+        pid = contact.ids  # (B, cap) global partner ids
+        have = pid >= 0
+        ps = t_slots[jnp.maximum(pid, 0)]
+        resolvable = have & (ps >= 0)
+        pj = t_pos[jnp.maximum(ps, 0)]
+        r2 = jnp.zeros(pid.shape, own_pos.dtype)
+        for k in range(3):
+            dk = own_pos[:, k, None] - pj[..., k]
+            r2 = r2 + dk * dk
+        dist = c.contactmap_distance * core_now
+        hit = resolvable & (r2 < dist * dist)
+        contact = contact._replace(
+            counts=contact.counts + hit.astype(jnp.int32)
+        )
+        stats = stats._replace(
+            contact_misses=stats.contact_misses
+            + jnp.sum(have & ~resolvable).astype(jnp.int32)
+        )
+        return (own_pos, own_ids, key, semiaxes, contact, stats)
 
     def device_segment(own_pos, own_ids, key, semiaxes, seg_start):
         shard = jax.lax.axis_index("beads")
@@ -522,9 +520,22 @@ def make_halo_segment(
             excursion=jnp.zeros((), jnp.float32),
         )
         carry = (own_pos, own_ids, key, semiaxes, contact, stats)
-        carry, _ = jax.lax.scan(
-            device_step, carry, seg_start + 1 + jnp.arange(seg_steps)
-        )
+        tick = c.contactmap_update_interval
+        if seg_steps % tick == 0:
+            # Tick-free inner scans; the tick fires at each block boundary
+            # (a per-step lax.cond pays its branch every step under scan on
+            # the current TPU runtime).
+            for blk in range(seg_steps // tick):
+                block_start = seg_start + blk * tick
+                carry, _ = jax.lax.scan(
+                    device_step, carry, block_start + 1 + jnp.arange(tick)
+                )
+                carry = contact_tick(carry, block_start + tick)
+        else:
+            raise ValueError(
+                "halo segment length must be a multiple of the contact "
+                "update interval"
+            )
         own_pos, own_ids, key, semiaxes, contact, stats = carry
 
         events, n_events = compact_contact_events(
