@@ -42,9 +42,28 @@ ANALYSIS_COMMANDS = {
 }
 
 
+def _pin_platform():
+    """Make JAX_PLATFORMS effective on this CLI.
+
+    Some platform plugins (the experimental axon TPU tunnel on this box)
+    register themselves regardless of the JAX_PLATFORMS environment variable;
+    only a post-import config update actually pins the backend.  Honoring the
+    env var here lets users run stages on CPU — and keeps a CPU verification
+    run from attaching to (and crashing into) a TPU another process is using.
+    """
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
+
 def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
+    _pin_platform()
 
     # Analysis tools keep their own argparse CLIs (mirroring the reference's
     # scripts/_run_py symlink dispatch); forward to them.

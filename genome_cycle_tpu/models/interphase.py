@@ -408,27 +408,35 @@ class InterphaseModel:
                 ab_pair_forces_pallas,
                 build_padded_slab,
                 forces_to_beads,
+                vmem_plan,
             )
 
             m = self.dense_grid.capacity
-            slab, ids, overflow, max_fill = build_padded_slab(
-                self.dense_grid, positions, self.af, self.bf
-            )
-            kparams = jnp.asarray(
-                [
-                    params["a_energy"],
-                    1.0 / (params["a_diameter"] * params["a_diameter"]),
-                    params["b_energy"],
-                    1.0 / (params["b_diameter"] * params["b_diameter"]),
-                ],
-                jnp.float32,
-            )
-            planes = ab_pair_forces_pallas(
-                slab, kparams, self.dense_grid.dims, m
-            )
-            forces = forces_to_beads(planes, ids, self.n)
-            zero = jnp.asarray(0.0, positions.dtype)
-            return forces, zero, overflow, max_fill
+            # Provable VMEM fit BEFORE launch: an oversubscribed kernel does
+            # not fail cleanly — it crashes the TPU worker (round-2 bench,
+            # m=192).  No fitting (chunk, jb) -> XLA dense-slab fallback.
+            plan = vmem_plan(self.dense_grid.dims, m)
+            if plan is not None:
+                chunk, jb = plan
+                slab, ids, overflow, max_fill = build_padded_slab(
+                    self.dense_grid, positions, self.af, self.bf
+                )
+                kparams = jnp.asarray(
+                    [
+                        params["a_energy"],
+                        1.0 / (params["a_diameter"] * params["a_diameter"]),
+                        params["b_energy"],
+                        1.0 / (params["b_diameter"] * params["b_diameter"]),
+                    ],
+                    jnp.float32,
+                )
+                planes = ab_pair_forces_pallas(
+                    slab, kparams, self.dense_grid.dims, m,
+                    chunk=chunk, jb=jb,
+                )
+                forces = forces_to_beads(planes, ids, self.n)
+                zero = jnp.asarray(0.0, positions.dtype)
+                return forces, zero, overflow, max_fill
 
         slabs = build_slabs(
             self.dense_grid, positions, extras=(self.af, self.bf)
@@ -685,22 +693,43 @@ class InterphaseModel:
 
         return segment
 
-    def make_interphase_chunk(self, chunk_steps: int):
+    def make_interphase_chunk(self, chunk_steps: int, fuse: bool = None):
         """(carry, start) -> (carry, events) over one sampling chunk.
 
         carry = (x, key, semiaxes, ChunkStats); events (segments, E, 3).
 
-        The segment is ONE jit (compiled once); segments are dispatched from
-        a host loop rather than an outer ``lax.scan``.  Nested scans (a scan
-        of segments each containing the 50-step scan) crash the TPU worker
-        on the current experimental runtime — bisected on hardware: the
-        jitted segment runs fine, the same segment under an outer scan dies
-        with a device error.  The host loop costs only async dispatch (no
-        sync until the events are consumed) and keeps semantics identical.
+        Two dispatch structures, identical semantics:
+
+        - ``fuse=True`` (default on TPU): ONE jit containing every segment,
+          Python-unrolled.  No nested ``lax.scan`` (segments already unroll
+          their tick blocks around inner scans — an outer scan of segments
+          crashes the TPU worker on the current experimental runtime,
+          bisected on hardware), and no per-segment host dispatch: over the
+          axon tunnel each dispatch costs whole round trips, which measured
+          ~50x the device compute at 25k beads.
+        - ``fuse=False`` (default on CPU): the segment is one jit, segments
+          dispatch from a host loop.  Compiles ``n_segments``-fold faster —
+          right for tests and CPU work.
         """
         seg = self.rebuild_interval(chunk_steps)
-        segment = jax.jit(self.interphase_segment(seg))
         n_segments = chunk_steps // seg
+        segment = self.interphase_segment(seg)
+        if fuse is None:
+            fuse = jax.default_backend() not in ("cpu",)
+
+        if fuse:
+            @jax.jit
+            def chunk(carry, start):
+                start = jnp.asarray(start, jnp.int32)
+                events = []
+                for k in range(n_segments):
+                    carry, ev = segment(carry, start + k * seg)
+                    events.append(ev)
+                return carry, jnp.stack(events)
+
+            return chunk
+
+        segment = jax.jit(segment)
 
         def chunk(carry, start):
             start = jnp.asarray(start, jnp.int32)
@@ -849,11 +878,22 @@ class _AdaptiveEngine:
         """A segment's max bead displacement exceeded margin/2 — the
         per-segment pair list is only a superset of contact-eligible pairs
         within that bound.  Prefer shortening the list lifetime (rebuilds
-        cost one cell pass) over widening the margin (row capacity — and the
-        every-20-step tick cost — grow with the margin cubed)."""
-        floor = self.config.interphase.contactmap_update_interval
-        if self.rebuild_interval > floor:
-            self.rebuild_interval = max(self.rebuild_interval // 2, floor)
+        cost one cell pass) over widening the margin: a wider margin grows
+        the row capacity — and the every-20-step tick cost — with the margin
+        cubed, and on a compact structure a margin of O(system size) lists
+        every pair, which cascades into contact-capacity doublings (observed:
+        an under-relaxed 500-bead blob churned margin -> 2.0 -> capacity 256
+        -> five recompiles before the first chunk landed).  Below the tick
+        interval the segment falls back to the per-step conditional tick —
+        slower per step, but only violent far-from-equilibrium dynamics land
+        there, and correctness never depends on the margin."""
+        if self.rebuild_interval > 1:
+            floor = self.config.interphase.contactmap_update_interval
+            want = (
+                floor if self.rebuild_interval > floor
+                else self.rebuild_interval // 2
+            )
+            self.rebuild_interval = max(want, 1)
             self.log(
                 f"engine: drift exceeded margin/2; contact rebuild interval "
                 f"-> {self.rebuild_interval}"

@@ -47,6 +47,40 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # must match CompilerParams below
+
+
+def vmem_plan(dims: Tuple[int, int, int], m: int):
+    """Pick (chunk, jb) that provably fit the scoped-VMEM budget.
+
+    Accounts for every scratch buffer declared by :func:`ab_pair_forces_pallas`
+    plus the kernel body's (m, jb, chunk) pair temporaries (~10 resident
+    blocks: 3 coordinate planes + shifted copies, r2, two softcore branches,
+    coefficient, accumulator partials).  Returns None when no configuration
+    fits — callers MUST fall back to the XLA dense-slab path instead of
+    launching a kernel that kills the TPU worker (observed in round 2 at
+    m=192: the capacity retry crashed the chip mid-bench).
+    """
+    _, plane_stride, _ = plane_geometry(dims)
+    for chunk in (128,):
+        plane_w = _round_up(dims[1] * dims[2], chunk)
+        fixed = 4 * (
+            3 * 6 * m * plane_stride   # rolled planes scratch
+            + 6 * m * plane_stride     # rolled_buf
+            + 3 * m * plane_w          # facc
+            + 3 * m * plane_stride     # staging
+        )
+        jbs = [m] if m <= 32 else []
+        jbs += [j for j in (16, 8, 4, 2, 1) if j < m]
+        for jb in jbs:
+            if m % jb != 0:
+                continue
+            temporaries = 4 * 10 * m * jb * chunk
+            if fixed + temporaries <= VMEM_LIMIT_BYTES:
+                return chunk, jb
+    return None
+
+
 def plane_geometry(dims: Tuple[int, int, int]):
     nx, ny, nz = dims
     if nz + 1 > 128:

@@ -46,7 +46,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.interphase import InterphaseModel
@@ -182,18 +182,23 @@ def make_halo_carry(
         semiaxes=jnp.asarray(semiaxes, jnp.float32),
     )
     specs = carry_specs()
+    from .mesh import shard_to_mesh
+
     return HaloCarry(
-        *(
-            jax.device_put(arr, NamedSharding(mesh, spec))
-            for arr, spec in zip(carry, specs)
-        )
+        *(shard_to_mesh(arr, mesh, spec) for arr, spec in zip(carry, specs))
     )
 
 
 def gather_positions(model: InterphaseModel, carry: HaloCarry) -> np.ndarray:
     """Reassemble (R, N, 3) global positions from the slab layout."""
-    pos = np.asarray(carry.pos)
-    ids = np.asarray(carry.ids)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        pos = np.asarray(multihost_utils.process_allgather(carry.pos, tiled=True))
+        ids = np.asarray(multihost_utils.process_allgather(carry.ids, tiled=True))
+    else:
+        pos = np.asarray(carry.pos)
+        ids = np.asarray(carry.ids)
     r = pos.shape[0]
     out = np.zeros((r, model.n, 3), np.float32)
     for k in range(r):

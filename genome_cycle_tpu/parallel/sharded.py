@@ -28,7 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.interphase import InterphaseModel
@@ -203,9 +203,8 @@ def init_sharded_carry(
         overflow=jnp.zeros((r,), jnp.int32),
     )
     specs = carry_specs()
+    from .mesh import shard_to_mesh
+
     return ShardedCarry(
-        *(
-            jax.device_put(arr, NamedSharding(mesh, spec))
-            for arr, spec in zip(carry, specs)
-        )
+        *(shard_to_mesh(arr, mesh, spec) for arr, spec in zip(carry, specs))
     )

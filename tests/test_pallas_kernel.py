@@ -81,3 +81,29 @@ def test_pallas_boundary_cells(rng):
     # nothing (opposite corners).
     assert np.abs(f[0]).max() > 0
     np.testing.assert_allclose(f[1], 0.0, atol=1e-6)
+
+
+def test_vmem_plan_budget():
+    from genome_cycle_tpu.ops.pallas_kernels import (
+        VMEM_LIMIT_BYTES,
+        _round_up,
+        plane_geometry,
+        vmem_plan,
+    )
+
+    # Production-scale grid (the m=192 shape that crashed the round-2 bench
+    # worker must now resolve to a provably fitting block size or None).
+    dims = (37, 37, 37)
+    for m in (32, 96, 192, 384):
+        plan = vmem_plan(dims, m)
+        if plan is None:
+            continue
+        chunk, jb = plan
+        assert m % jb == 0 and chunk % 128 == 0
+        _, ps, _ = plane_geometry(dims)
+        pw = _round_up(dims[1] * dims[2], chunk)
+        fixed = 4 * (3 * 6 * m * ps + 6 * m * ps + 3 * m * pw + 3 * m * ps)
+        assert fixed + 4 * 10 * m * jb * chunk <= VMEM_LIMIT_BYTES
+
+    # A grid too big for any block size must refuse, not crash.
+    assert vmem_plan((40, 90, 90), 1024) is None
