@@ -127,31 +127,37 @@ def _plan(n_beads: int):
     dt = 1e-5
     t_end = (1 + TIMED_REPS) * BENCH_STEPS * dt
     core_end = 1.0 - 0.5 * math.exp(-t_end / 0.5)
-    bucket = next(
-        b for b in (0.5, 0.55, 0.65, 0.75, 0.85, 1.0) if core_end <= b + 1e-6
-    )
+    # Dense cell = full interaction diameter: measured 4x faster than the
+    # core-scale-tracking buckets on chip (bench_contact_variants.py; the
+    # small-M blocks tile badly and lose more than the lane count saves).
+    bucket = 1.0
 
     dense_bound = radius + 0.5
     cell = 0.3 * bucket
     fill = _grid_max_fill(x, dense_bound, cell)
     cell_capacity = _round_up(max(int(fill * 1.5), 32), 32)
 
-    # Contact rows: cutoff = distance*scale + margin at build time.
-    margin = 0.25
-    contact_cutoff = 0.24 * 0.5 + margin
+    # Contact rows: margin-free tick search at the current contact distance.
+    margin = 0.25  # only sizes the coarse margin_grid (halo/legacy paths)
+    contact_cutoff = 0.24 * core_end
     partners = _max_contact_partners(x, contact_cutoff)
-    contact_capacity = _round_up(max(int(partners * 1.3), 32), 32)
+    contact_capacity = _round_up(max(int(partners * 1.5), 16), 8)
 
-    # Contact-list search grid: its own capacity, probed at its own cell.
-    contact_cell = 0.24 + margin
+    # Tick search grid: cell bucketed to the cutoff schedule (fold lanes
+    # scale with capacity^2 — smaller cells win here, measured 3.5x).
+    contact_bucket = next(
+        b for b in (0.52, 0.6, 0.7, 0.8, 0.9, 1.0) if core_end <= b + 1e-6
+    )
+    contact_cell = 0.24 * contact_bucket
     contact_fill = _grid_max_fill(x, radius + 1.0, contact_cell)
-    contact_cell_capacity = _round_up(max(int(contact_fill * 1.3), 32), 32)
+    contact_cell_capacity = _round_up(max(int(contact_fill * 1.3), 16), 8)
 
     return dict(
         n_beads=n_beads,
         radius=radius,
         dense_bound=dense_bound,
         bucket=bucket,
+        contact_bucket=contact_bucket,
         cell=cell,
         cell_capacity=cell_capacity,
         contact_capacity=contact_capacity,
@@ -173,6 +179,7 @@ def _measure_variant(n_beads: int, use_pallas: bool):
         cell_capacity=plan["cell_capacity"],
         contact_capacity=plan["contact_capacity"],
         contact_cell_capacity=plan["contact_cell_capacity"],
+        contact_cell_scale=plan["contact_bucket"],
         contact_margin=plan["margin"],
         grid_bound=plan["radius"] + 1.0,
         dense_bound=plan["dense_bound"],

@@ -57,6 +57,7 @@ def main():
         cell_capacity=plan["cell_capacity"],
         contact_capacity=plan["contact_capacity"],
         contact_cell_capacity=plan["contact_cell_capacity"],
+        contact_cell_scale=plan["contact_bucket"],
         contact_margin=plan["margin"],
         grid_bound=plan["radius"] + 1.0,
         dense_bound=plan["dense_bound"],
@@ -79,8 +80,8 @@ def main():
     )
     note(res, "assemble_s", t(asm, x, semi))
 
-    # 4. contact-list build
-    cutoff = model.config.contactmap_distance * 0.5 + settings.contact_margin
+    # 4. contact-list build (margin-free tick search cutoff, fine grid)
+    cutoff = model.config.contactmap_distance * 0.5
 
     @jax.jit
     def cbuild(x):

@@ -61,17 +61,22 @@ class EngineSettings:
     JSON schema; auto-derived from the system size when unset)."""
 
     cell_capacity: int = 32
+    # Contact rows per bead at a tick (margin-free search lists the pairs
+    # actually in contact: ~11 partners/bead at production density, halved
+    # by parity ownership).  The halo/legacy margin-carrying lists also use
+    # this row capacity, with margin-inflated occupancy.
     contact_capacity: int = 64
+    # Margin of the coarse margin_grid (halo engine + per-step legacy path
+    # only — the single-chip tick search is margin-free and ignores this).
+    # A list built at cutoff + margin is valid while drift < margin/2
+    # (measured equilibrium max drift at production density: 0.098 over 25
+    # steps, 0.127 over 50).
     contact_margin: float = 0.25
-    # The contact pair list is rebuilt inside the scan every this many steps:
-    # a frozen per-chunk list silently misses pairs once any bead drifts past
-    # margin/2 (measured equilibrium max drift at production density: 0.098
-    # over 25 steps, 0.127 over 50 — margin 0.25 covers ~40 steps), so the
-    # list lives only as long as its margin provably covers; drift is
-    # watermarked and the engine shortens the lifetime (then widens the
-    # margin) when exceeded.  Builds are cheap (one cell pass), so the
-    # default matches the tick interval.  Adjusted to a divisor of the chunk
-    # length (preferring tick multiples) at chunk-build time.
+    # Segment length between host-visible event blocks, in steps.  Prefers
+    # tick multiples so segments run tick-free inner scans with the
+    # margin-free search applied structurally at each block boundary; a
+    # non-tick-aligned value falls back to the margin-carrying per-step
+    # path.  Adjusted to a divisor of the chunk length at chunk-build time.
     contact_rebuild_interval: int = 20
     # Fixed per-segment event-buffer rows (None = auto: ~8 rows per bead).
     contact_events_capacity: Optional[int] = None
@@ -80,6 +85,13 @@ class EngineSettings:
     # cell_capacity so contact-grid occupancy cannot inflate the dense pair
     # engine's quadratic per-cell cost.
     contact_cell_capacity: Optional[int] = None
+    # Tick-search cell as a fraction of contactmap_distance, bucketed by the
+    # core-scale schedule: the gather fold's lanes scale with capacity^2, so
+    # tracking the current cutoff DOES pay here (0.72 s vs 2.5 s per tick at
+    # 25k beads on v5e) — the opposite of the dense slab engine, where small
+    # blocks tile badly (see update_cell_scale).  Must stay >= the largest
+    # core_scale reached while a compiled chunk is live.
+    contact_cell_scale: float = 1.0
     grid_bound: float = 8.0
     dtype: str = "float32"
     # Dense-slab pair engine (gather-free; the TPU-fast path).  The gather
@@ -135,7 +147,8 @@ class InterphaseModel:
     nuc_bonds: jnp.ndarray         # (Bn, 2) NOR-nucleolus bonds
     nuc_targets: jnp.ndarray       # (Tn,) nucleolar particle indices
     grid: CellGrid
-    contact_grid: CellGrid
+    contact_grid: CellGrid         # fine grid for margin-free tick search
+    margin_grid: CellGrid          # coarse grid for margin-carrying lists
     settings: EngineSettings
     use_loops: bool
     use_droplet: bool
@@ -201,19 +214,35 @@ class InterphaseModel:
             cell_size=cell_size,
             capacity=settings.cell_capacity,
         )
-        # The contact-list build searches out to contactmap_distance *
-        # core_scale + margin, which exceeds the force grid's cell size; its
-        # 27-cell stencil needs cells at least that big or pairs at the edge
-        # of the margin are silently missed.
-        contact_cell = icfg.contactmap_distance + settings.contact_margin
-        contact_capacity_cells = settings.contact_cell_capacity or int(
-            settings.cell_capacity
-            * max(1, int(np.ceil((contact_cell / cell_size) ** 3)))
+        # Margin-free tick search grid: the tick builds a fresh pair list at
+        # the CURRENT contact distance (<= contactmap_distance at core_scale
+        # 1), exactly the reference's fresh-search-every-update semantics
+        # (contact_map.cpp:33-63).  Measured on chip at 25k beads: 0.72 s vs
+        # 14.2 s for the coarse margin-carrying grid, whose per-cell capacity
+        # (and so fold lanes, which scale with capacity^2) grows with
+        # (cutoff+margin)^3.
+        contact_cell = icfg.contactmap_distance * settings.contact_cell_scale
+        ratio = (contact_cell / cell_size) ** 3
+        contact_capacity_cells = settings.contact_cell_capacity or max(
+            16, int(np.ceil(settings.cell_capacity * ratio * 2))
         )
         contact_grid = CellGrid.cubic(
             bound=settings.grid_bound,
             cell_size=contact_cell,
             capacity=contact_capacity_cells,
+        )
+        # Coarse margin-carrying grid (halo engine + the per-step legacy
+        # path): lists built at cutoff + margin stay valid while drift <
+        # margin/2; the 27-cell stencil needs cells at least that big.
+        margin_cell = icfg.contactmap_distance + settings.contact_margin
+        margin_capacity_cells = int(
+            settings.cell_capacity
+            * max(1, int(np.ceil((margin_cell / cell_size) ** 3)))
+        )
+        margin_grid = CellGrid.cubic(
+            bound=settings.grid_bound,
+            cell_size=margin_cell,
+            capacity=margin_capacity_cells,
         )
         dense_grid = None
         if settings.use_dense_grid:
@@ -239,6 +268,7 @@ class InterphaseModel:
             nuc_targets=jnp.asarray(nuc_targets, jnp.int32),
             grid=grid,
             contact_grid=contact_grid,
+            margin_grid=margin_grid,
             settings=settings,
             use_loops=use_loops,
             use_droplet=use_droplet,
@@ -530,11 +560,10 @@ class InterphaseModel:
         )
         return (x, key, semiaxes, stats)
 
-    def _bd_step(self, carry, step):
-        """Forces at lagged scales, BD update, drift watermark, wall ODE —
-        everything except the contact tick
-        (simulation_driver_interphase.cpp:16-63,79-90)."""
-        x, key, semiaxes, contact, stats = carry
+    def _bd_step4(self, carry, step):
+        """Forces at lagged scales, BD update, wall ODE — everything except
+        contact accounting (simulation_driver_interphase.cpp:16-63,79-90)."""
+        x, key, semiaxes, stats = carry
         c = self.config
         dt = c.timestep
         # Scales were last updated by the previous step's callback at
@@ -550,15 +579,19 @@ class InterphaseModel:
             x, forces, self.mobility, sub, BDParams(c.temperature, dt)
         )
 
-        # Drift tracking guards the per-segment pair list: the chunk driver
-        # shortens the list lifetime when displacement exceeds margin/2.
-        contact = track_drift(contact, x)
-
         # Wall ODE: overdamped motion of the semiaxes under chromatin pressure
         # (simulation_driver_interphase.cpp:79-90).
         spring = jnp.asarray(c.wall_semiaxes_spring, x.dtype)
         semiaxes = semiaxes + dt * c.wall_mobility * (reaction - spring * semiaxes)
 
+        return (x, key, semiaxes, stats)
+
+    def _bd_step(self, carry, step):
+        """Legacy 5-carry step: BD step plus the drift watermark guarding a
+        margin-carrying contact list (the per-step path and halo engine)."""
+        x, key, semiaxes, contact, stats = carry
+        x, key, semiaxes, stats = self._bd_step4((x, key, semiaxes, stats), step)
+        contact = track_drift(contact, x)
         return (x, key, semiaxes, contact, stats)
 
     def _contact_tick(self, carry, step):
@@ -591,15 +624,39 @@ class InterphaseModel:
         )
 
     def fresh_contact_list(self, positions, core_scale) -> ContactList:
-        table, _, _ = build_cell_table(self.contact_grid, positions)
+        """Margin-carrying list on the coarse grid (per-step legacy path)."""
+        table, _, _ = build_cell_table(self.margin_grid, positions)
         cutoff = (
             self.config.contactmap_distance * core_scale
             + self.settings.contact_margin
         )
         return build_contact_list(
-            self.contact_grid, table, positions, cutoff,
+            self.margin_grid, table, positions, cutoff,
             self.settings.contact_capacity,
         )
+
+    def contact_events_tick(self, x, step):
+        """Fresh spatial search at a tick step -> compacted contact events.
+
+        Exactly the reference cadence and semantics: every
+        ``contactmap_update_interval`` steps a full neighbor search at the
+        *current* contact distance counts each in-range pair once
+        (contact_map.cpp:33-63).  No margin, no list lifetime, no drift
+        assumption — the listed pairs ARE the events.  Returns (events
+        (E, 3), n_events, overflow) where overflow counts pairs dropped by
+        either the search-grid cell capacity or the per-row slot capacity.
+        """
+        c = self.config
+        core_now, _ = self.scales(jnp.asarray(step, x.dtype) * c.timestep)
+        cutoff = c.contactmap_distance * core_now
+        table, table_ov, _ = build_cell_table(self.contact_grid, x)
+        ct = build_contact_list(
+            self.contact_grid, table, x, cutoff,
+            self.settings.contact_capacity,
+        )
+        ct = ct._replace(counts=(ct.ids >= 0).astype(jnp.int32))
+        events, n_events = compact_contact_events(ct, self.events_capacity)
+        return events, n_events, ct.overflow, table_ov
 
     @property
     def events_capacity(self) -> int:
@@ -624,16 +681,70 @@ class InterphaseModel:
         return max(ticked) if ticked else max(divisors)
 
     def interphase_segment(self, seg_steps: int):
-        """(carry, seg_start) -> (carry, events): one contact-list lifetime.
+        """(carry, seg_start) -> (carry, events): BD steps with a margin-free
+        spatial contact search at every tick boundary.
 
-        A fresh pair list is built from the current positions with a cutoff
-        covering the segment's final contact distance, the BD step scans the
-        segment, and the expiring list's nonzero counts compact into a fixed
-        (E, 3) event block (the scan stacks these as its ys).  This matches
-        the reference's fresh-search-every-update semantics
-        (contact_map.cpp:33-63) as long as drift stays under margin/2 —
-        which the drift watermark verifies, per segment, at run time.
+        carry = (x, key, semiaxes, ChunkStats); events (ticks, E, 3).  Chunk
+        starts are multiples of the tick interval, so each block boundary IS
+        the step where ``step % tick == 0`` — the search runs there at the
+        current contact distance and its compacted events are the block's
+        contribution (reference: fresh search per update,
+        contact_map.cpp:33-63).  There is no list lifetime and therefore no
+        drift assumption to verify.  (Tick-free inner scans matter: a
+        per-step lax.cond pays its tick branch every step under scan on the
+        current TPU runtime — 50x the amortized cost.)
+
+        A segment length the tick interval does not divide takes the legacy
+        margin-carrying path (:meth:`_interphase_segment_margin`).
         """
+        c = self.config
+        tick = c.contactmap_update_interval
+        if seg_steps % tick != 0:
+            return self._interphase_segment_margin(seg_steps)
+
+        def segment(carry, seg_start):
+            x, key, semiaxes, stats = carry
+            inner = (x, key, semiaxes, (stats.cell_overflow, stats.cell_fill))
+            events = []
+            n_ev = jnp.zeros((), jnp.int32)
+            row_ov = stats.contact_overflow
+            grid_ov = stats.contact_cell_overflow
+            for blk in range(seg_steps // tick):
+                block_start = seg_start + blk * tick
+                inner, _ = jax.lax.scan(
+                    lambda cr, s: (self._bd_step4(cr, s), None),
+                    inner,
+                    block_start + 1 + jnp.arange(tick),
+                )
+                ev, ne, rov, gov = self.contact_events_tick(
+                    inner[0], block_start + tick
+                )
+                events.append(ev)
+                n_ev = jnp.maximum(n_ev, ne)
+                row_ov = jnp.maximum(row_ov, rov)
+                grid_ov = jnp.maximum(grid_ov, gov)
+            x, key, semiaxes, (ov, fill) = inner
+            stats = ChunkStats(
+                cell_overflow=ov,
+                cell_fill=fill,
+                contact_overflow=row_ov,
+                drift2=stats.drift2,
+                event_overflow=jnp.maximum(
+                    stats.event_overflow,
+                    n_ev - np.int32(self.events_capacity),
+                ),
+                contact_cell_overflow=grid_ov,
+            )
+            return (x, key, semiaxes, stats), jnp.stack(events)
+
+        return segment
+
+    def _interphase_segment_margin(self, seg_steps: int):
+        """Legacy margin-carrying segment (one contact-list lifetime).
+
+        A pair list built at cutoff + margin covers the segment's ticks while
+        drift stays under margin/2, which the drift watermark verifies at run
+        time.  Only non-tick-aligned cadences use this path now."""
         c = self.config
 
         def segment(carry, seg_start):
@@ -643,36 +754,18 @@ class InterphaseModel:
             cutoff = (
                 c.contactmap_distance * core_end + self.settings.contact_margin
             )
-            table, _, _ = build_cell_table(self.contact_grid, x)
+            table, _, _ = build_cell_table(self.margin_grid, x)
             contact = build_contact_list(
-                self.contact_grid, table, x, cutoff,
+                self.margin_grid, table, x, cutoff,
                 self.settings.contact_capacity,
             )
             inner = (x, key, semiaxes, contact, (stats.cell_overflow,
                                                  stats.cell_fill))
-            tick = c.contactmap_update_interval
-            if seg_steps % tick == 0:
-                # Tick-free inner scans with the tick at each block's end:
-                # chunk starts are multiples of the tick interval, so the
-                # block boundary IS the step where step % tick == 0.  (A
-                # per-step lax.cond pays its tick branch every step under
-                # scan on the current TPU runtime — 50x the amortized cost.)
-                for blk in range(seg_steps // tick):
-                    block_start = seg_start + blk * tick
-                    inner, _ = jax.lax.scan(
-                        lambda cr, s: (self._bd_step(cr, s), None),
-                        inner,
-                        block_start + 1 + jnp.arange(tick),
-                    )
-                    inner = self._contact_tick(inner, block_start + tick)
-            else:
-                # Exotic cadence (tick does not divide the segment): fall
-                # back to the conditional per-step form.
-                inner, _ = jax.lax.scan(
-                    lambda cr, s: (self.interphase_step(cr, s), None),
-                    inner,
-                    seg_start + 1 + jnp.arange(seg_steps),
-                )
+            inner, _ = jax.lax.scan(
+                lambda cr, s: (self.interphase_step(cr, s), None),
+                inner,
+                seg_start + 1 + jnp.arange(seg_steps),
+            )
             x, key, semiaxes, contact, (ov, fill) = inner
             events, n_events = compact_contact_events(
                 contact, self.events_capacity
@@ -688,6 +781,7 @@ class InterphaseModel:
                     stats.event_overflow,
                     n_events - np.int32(self.events_capacity),
                 ),
+                contact_cell_overflow=stats.contact_cell_overflow,
             )
             return (x, key, semiaxes, stats), events
 
@@ -750,11 +844,12 @@ class ChunkStats(NamedTuple):
     contact_overflow: jnp.ndarray  # () int32 contact-list row overflow
     drift2: jnp.ndarray            # () max squared drift within a segment
     event_overflow: jnp.ndarray    # () int32 event rows beyond capacity
+    contact_cell_overflow: jnp.ndarray = None  # () int32 tick search grid
 
     @classmethod
     def zero(cls, dtype=jnp.float32) -> "ChunkStats":
         z = jnp.zeros((), jnp.int32)
-        return cls(z, z, z, jnp.zeros((), dtype), z)
+        return cls(z, z, z, jnp.zeros((), dtype), z, z)
 
 
 class _AdaptiveEngine:
@@ -784,6 +879,8 @@ class _AdaptiveEngine:
         self.contact_margin = base.contact_margin
         self.rebuild_interval = base.contact_rebuild_interval
         self.events_capacity = base.contact_events_capacity
+        self.contact_cell_capacity = base.contact_cell_capacity
+        self.contact_cell_scale = base.contact_cell_scale
         self.dense_bound = base.dense_bound
         self.dense_cell_scale = base.dense_cell_scale
         # Brute-force systems ignore the cell grids entirely: freeze every
@@ -792,15 +889,28 @@ class _AdaptiveEngine:
         self._cache: dict[tuple, dict] = {}
 
     def update_cell_scale(self, core_scale: float):
-        """Smallest dense cell-size bucket covering the current cutoff."""
+        """Cell-size buckets, informed by on-chip measurement.
+
+        DENSE pair grid: buckets DISABLED.  Round 2 shrank the dense cell to
+        track the core-scale schedule (fewer stencil lanes on paper), but
+        hardware says otherwise: at 25k beads the full-diameter cell (0.30)
+        runs the pair force in 70 ms at 69.7 Glanes/s while the 0.55-bucket
+        cell (0.165) takes 282 ms at 15.5 Glanes/s — small per-cell
+        capacities tile the (M, M) blocks so badly that 11x fewer lanes run
+        4x SLOWER (bench_contact_variants.py, v5e).  The dense cell stays at
+        the interaction diameter.
+
+        CONTACT tick-search grid: buckets ENABLED.  The gather fold's lanes
+        scale with per-cell capacity^2, and there the smaller cell wins big
+        (0.72 s vs 2.5 s per tick at 25k beads) — track the cutoff."""
         if self.brute:
             return
-        for bucket in (0.5, 0.55, 0.65, 0.75, 0.85, 1.0):
+        for bucket in (0.52, 0.6, 0.7, 0.8, 0.9, 1.0):
             if core_scale <= bucket + 1e-6:
                 break
-        if bucket != self.dense_cell_scale:
-            self.log(f"engine: dense cell-size bucket -> {bucket}")
-            self.dense_cell_scale = bucket
+        if bucket != self.contact_cell_scale:
+            self.log(f"engine: contact-search cell bucket -> {bucket}")
+            self.contact_cell_scale = bucket
 
     def update_bound(self, max_abs_coord: float):
         """Track the occupied extent; the dense grid stays tight around it
@@ -824,7 +934,8 @@ class _AdaptiveEngine:
         key = (
             self.cell_capacity, self.contact_capacity, self.contact_margin,
             self.rebuild_interval, self.events_capacity, self.dense_bound,
-            self.dense_cell_scale, relax,
+            self.dense_cell_scale, self.contact_cell_capacity,
+            self.contact_cell_scale, relax,
         )
         if key not in self._cache:
             settings = dataclasses.replace(
@@ -834,6 +945,8 @@ class _AdaptiveEngine:
                 contact_margin=self.contact_margin,
                 contact_rebuild_interval=self.rebuild_interval,
                 contact_events_capacity=self.events_capacity,
+                contact_cell_capacity=self.contact_cell_capacity,
+                contact_cell_scale=self.contact_cell_scale,
                 dense_bound=self.dense_bound,
                 dense_cell_scale=self.dense_cell_scale,
                 use_dense_grid=self.settings.use_dense_grid and not relax,
@@ -873,6 +986,16 @@ class _AdaptiveEngine:
             raise RuntimeError("contact capacity limit exceeded")
         self.contact_capacity *= 2
         self.log(f"engine: growing contact capacity to {self.contact_capacity}")
+
+    def grow_contact_cells(self, model):
+        cur = self.contact_cell_capacity or model.contact_grid.capacity
+        if cur >= self.MAX_CAPACITY:
+            raise RuntimeError("contact search grid capacity limit exceeded")
+        self.contact_cell_capacity = cur * 2
+        self.log(
+            f"engine: growing contact search-grid capacity to "
+            f"{self.contact_cell_capacity}"
+        )
 
     def handle_drift(self):
         """A segment's max bead displacement exceeded margin/2 — the
@@ -1106,6 +1229,9 @@ def run_interphase(
                 continue
             if int(stats.contact_overflow) > 0:
                 engine.grow_contacts()
+                continue
+            if int(stats.contact_cell_overflow) > 0:
+                engine.grow_contact_cells(model)
                 continue
             if int(stats.event_overflow) > 0:
                 engine.grow_events(model)

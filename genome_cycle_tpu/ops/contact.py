@@ -2,26 +2,33 @@
 
 Replaces the reference's host-side hash-map contact map
 (stage_interphase/contact_map.{hpp,cpp}) with a jit-friendly fixed-capacity
-design:
+design.  Two modes share the same primitives:
 
-1. Per rebuild segment (every ``contact_rebuild_interval`` steps, inside the
-   jitted scan), :func:`build_contact_list` compacts all pairs within
-   ``contact_distance + margin`` into a per-bead slot list (N, capacity) —
-   the margin covers bead drift across one segment, and :func:`track_drift`
-   verifies that assumption at run time.
-2. Within the segment, every ``contactmap_update_interval`` steps
-   :func:`update_contact_counts` re-measures only the listed pairs and
-   increments per-slot counts — no sorting or hashing in the hot loop.
-3. At segment end :func:`compact_contact_events` squeezes the nonzero slots
-   into a fixed (E, 3) event block (cumsum compaction, no sort); the scan
-   stacks the blocks, and the host-side :func:`merge_window` reduces an
-   output window's events to the sorted COO (i, j, count) rows the
-   trajectory store expects (contact_map.cpp:66-85 sorts by (i<<32|j) for
-   compressibility).
+**Margin-free tick search** (the single-chip hot path,
+``InterphaseModel.contact_events_tick``): at every
+``contactmap_update_interval`` steps a fresh :func:`build_contact_list` at
+the *current* contact distance lists exactly the in-contact pairs — the
+reference's fresh-search-every-update semantics verbatim
+(contact_map.cpp:33-63) — and :func:`compact_contact_events` squeezes them
+into a fixed (E, 3) event block (cumsum compaction, no sort).  No list
+lifetime, no margin, no drift assumption.  On-chip measurement drove this
+design: a coarse margin-carrying grid needs per-cell capacity ~(cutoff +
+margin)^3 and its fold lanes scale with capacity^2 — 14.2 s per build at 25k
+beads vs 0.7 s for the fine margin-free search.
 
-Each pair is stored on exactly one owner row (parity-balanced, see
-:func:`owns_pair`); host extraction restores i < j.  Slot-capacity, event
-and margin overflows are counted and surfaced, never silently dropped.
+**Margin-carrying lists** (halo engine + per-step legacy path): a list built
+at ``contact_distance + margin`` stays a superset of contact-eligible pairs
+while no bead moves more than margin/2 (:func:`track_drift` verifies this at
+run time); :func:`update_contact_counts` re-measures the listed pairs at
+each tick.  The halo engine keeps this mode because its owner rows carry
+global ids across exchanges.
+
+The host-side :func:`merge_window` reduces an output window's events to the
+sorted COO (i, j, count) rows the trajectory store expects
+(contact_map.cpp:66-85 sorts by (i<<32|j) for compressibility).  Each pair
+is stored on exactly one owner row (parity-balanced, see :func:`owns_pair`);
+host extraction restores i < j.  Slot-capacity, event and margin overflows
+are counted and surfaced, never silently dropped.
 """
 
 from __future__ import annotations

@@ -211,5 +211,3 @@ def pair_forces_slab(grid: DenseGrid, slabs: Slabs, coeff_fn, energy_fn=None):
     force = jnp.stack(forces, axis=-1)
     force = jnp.where(valid[..., None], force, 0.0)
     return force, energy
-
-

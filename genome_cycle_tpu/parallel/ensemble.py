@@ -258,6 +258,9 @@ def run_ensemble_interphase(
             if int(np.max(np.asarray(stats.contact_overflow))) > 0:
                 engine.grow_contacts()
                 continue
+            if int(np.max(np.asarray(stats.contact_cell_overflow))) > 0:
+                engine.grow_contact_cells(model)
+                continue
             if int(np.max(np.asarray(stats.event_overflow))) > 0:
                 engine.grow_events(model)
                 continue

@@ -498,10 +498,10 @@ def make_halo_segment(
             own_pos, own_ids, shard
         )
         ctable, _, _ = build_cell_table(
-            model.contact_grid, local_pos, valid=local_valid
+            model.margin_grid, local_pos, valid=local_valid
         )
         raw = build_contact_list(
-            model.contact_grid, ctable, local_pos, cutoff,
+            model.margin_grid, ctable, local_pos, cutoff,
             model.settings.contact_capacity,
             # Local row ids for the fold's self-exclusion; ownership and
             # stored partner ids resolve through the local->global map, so

@@ -186,9 +186,9 @@ def init_sharded_carry(
     )
 
     def build_replica(p):
-        table, _, _ = build_cell_table(model.contact_grid, p)
+        table, _, _ = build_cell_table(model.margin_grid, p)
         contact = build_contact_list(
-            model.contact_grid, table, p, cutoff, cap
+            model.margin_grid, table, p, cutoff, cap
         )
         return contact.ids, contact.counts
 

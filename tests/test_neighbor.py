@@ -218,3 +218,65 @@ def test_dense_slab_overflow_detected(rng):
     slabs = build_slabs(grid, positions)
     assert int(slabs.overflow) == 100 - 16
     assert int(slabs.max_fill) == 100
+
+
+def test_interphase_segment_events_dense_vs_gather(rng):
+    """The TPU segment (slab tick search) and the CPU segment (gather tick
+    search) produce identical contact events and positions from the same
+    carry (pair forces take the same brute path at this size, so positions
+    are bitwise equal and only the contact formulation differs)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from genome_cycle_tpu.config import parse_config
+    from genome_cycle_tpu.models.interphase import (
+        ChunkStats,
+        EngineSettings,
+        InterphaseModel,
+    )
+    from genome_cycle_tpu.ops.contact import events_to_host, merge_window
+    from genome_cycle_tpu.store import StageDesign
+    from genome_cycle_tpu.topology import ChainAssignment
+
+    n = 256
+    assigns = [ChainAssignment("chr1:a", 0, n)]
+    ab = np.zeros((n, 2))
+    ab[::2, 0] = 1.0
+    ab[1::2, 1] = 1.0
+    design = StageDesign(
+        seed=5, chains=assigns, ab_factors=ab,
+        nucleolar_bonds=np.zeros((0, 2), np.int64),
+    )
+    config = parse_config(json.dumps({}))
+
+    def run(use_dense):
+        settings = EngineSettings(
+            cell_capacity=64, contact_capacity=64, grid_bound=4.0,
+            dense_bound=2.0, use_dense_grid=use_dense, use_pallas=False,
+        )
+        model = InterphaseModel.from_design(design, config, settings)
+        x0 = jnp.asarray(
+            np.cumsum(rng2.normal(0, 0.06, (n, 3)), axis=0), jnp.float32
+        )
+        carry = (
+            x0, jax.random.PRNGKey(9),
+            jnp.asarray([2.0, 2.0, 2.0], jnp.float32),
+            ChunkStats.zero(jnp.float32),
+        )
+        seg = jax.jit(model.interphase_segment(20))
+        carry, ev = seg(carry, jnp.asarray(0))
+        stats = carry[3]
+        assert int(stats.contact_overflow) == 0
+        assert int(stats.contact_cell_overflow) == 0
+        assert int(stats.event_overflow) <= 0
+        return np.asarray(carry[0]), merge_window([events_to_host(ev)])
+
+    rng2 = np.random.default_rng(77)
+    p_d, ev_d = run(True)
+    rng2 = np.random.default_rng(77)
+    p_g, ev_g = run(False)
+    np.testing.assert_array_equal(p_d, p_g)
+    np.testing.assert_array_equal(ev_d, ev_g)
+    assert len(ev_d) > 0
