@@ -140,18 +140,25 @@ def _shifted(padded, off, dims, extra_dims):
     return padded[idx + (Ellipsis,)] if extra_dims else padded[idx]
 
 
-def pair_forces_slab(grid: DenseGrid, slabs: Slabs, coeff_fn, energy_fn=None):
+def pair_forces_slab(grid: DenseGrid, slabs: Slabs, coeff_fn, energy_fn=None,
+                     jb: int | None = None):
     """Pairwise forces over the dense slabs.
 
     ``coeff_fn(r2, ea_i, eb_i, ea_j, eb_j) -> c`` with F = c * (x_i - x_j),
     where ``ea``/``eb`` are the two extra channels (a/b factors).  Shapes are
-    broadcast blocks (..., M, M).  Returns (force_slab (...,M,3), energy).
+    broadcast blocks (..., M, jb).  Returns (force_slab (...,M,3), energy).
 
-    All pair math is elementwise over per-coordinate planes — dense (M, M)
-    broadcast blocks the VPU streams through with no gathers and no exotic
-    contraction shapes.
+    All pair math is elementwise over per-coordinate planes — dense blocks
+    the VPU streams through with no gathers and no exotic contraction
+    shapes.  The j axis is processed in ``jb``-wide blocks so live
+    temporaries stay at (cells, M, jb) regardless of capacity: at M = 256
+    the unblocked (cells, M, M) dx/r2/c temporaries total ~10 GB at a 100k
+    nucleus and crash the device (observed twice in driver benches before
+    this bound existed).
     """
     m = grid.capacity
+    if jb is None:
+        jb = m if m <= 64 else 64
     valid = slabs.ids >= 0
     ea, eb = slabs.extra
     dtype = slabs.pos.dtype
@@ -167,46 +174,53 @@ def pair_forces_slab(grid: DenseGrid, slabs: Slabs, coeff_fn, energy_fn=None):
 
     forces = [jnp.zeros_like(p) for p in planes]
     energy = jnp.asarray(0.0, dtype)
+    eye = jnp.eye(m, dtype=bool)
 
     for off in _OFFSETS:
-        nbr_planes = [
+        nbr_planes_f = [
             _shifted(pp, off, grid.dims, False) for pp in planes_p
         ]
-        nbr_valid = _shifted(valid_p, off, grid.dims, False)
-        nbr_ea = _shifted(ea_p, off, grid.dims, False)
-        nbr_eb = _shifted(eb_p, off, grid.dims, False)
+        nbr_valid_f = _shifted(valid_p, off, grid.dims, False)
+        nbr_ea_f = _shifted(ea_p, off, grid.dims, False)
+        nbr_eb_f = _shifted(eb_p, off, grid.dims, False)
 
-        # dx_k = x_i - x_j per coordinate: (..., M, M) broadcast blocks.
-        dxs = [
-            p[..., :, None] - q[..., None, :]
-            for p, q in zip(planes, nbr_planes)
-        ]
-        r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
-        # FAR-FAR differences cancel to 0: mask empty-empty pairs explicitly
-        # via validity; empty-real pairs have huge r2 already.
-        if off == (0, 0, 0):
-            eye = jnp.eye(m, dtype=bool)
-            r2 = jnp.where(eye, _FAR, r2)
+        for j0 in range(0, m, jb):
+            js = slice(j0, j0 + jb)
+            nbr_planes = [q[..., js] for q in nbr_planes_f]
+            nbr_valid = nbr_valid_f[..., js]
+            nbr_ea = nbr_ea_f[..., js]
+            nbr_eb = nbr_eb_f[..., js]
 
-        c = coeff_fn(
-            r2,
-            ea[..., :, None], eb[..., :, None],
-            nbr_ea[..., None, :], nbr_eb[..., None, :],
-        )
-        c = jnp.where(nbr_valid[..., None, :], c, 0.0)
+            # dx_k = x_i - x_j per coordinate: (..., M, jb) blocks.
+            dxs = [
+                p[..., :, None] - q[..., None, :]
+                for p, q in zip(planes, nbr_planes)
+            ]
+            r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
+            # FAR-FAR differences cancel to 0: mask empty-empty pairs via
+            # validity; empty-real pairs have huge r2 already.
+            if off == (0, 0, 0):
+                r2 = jnp.where(eye[:, js], _FAR, r2)
 
-        for k in range(3):
-            forces[k] = forces[k] + jnp.sum(c * dxs[k], axis=-1)
-
-        if energy_fn is not None:
-            u = energy_fn(
+            c = coeff_fn(
                 r2,
                 ea[..., :, None], eb[..., :, None],
                 nbr_ea[..., None, :], nbr_eb[..., None, :],
             )
-            u = jnp.where(nbr_valid[..., None, :], u, 0.0)
-            u = jnp.where(valid[..., :, None], u, 0.0)
-            energy = energy + 0.5 * jnp.sum(u)
+            c = jnp.where(nbr_valid[..., None, :], c, 0.0)
+
+            for k in range(3):
+                forces[k] = forces[k] + jnp.sum(c * dxs[k], axis=-1)
+
+            if energy_fn is not None:
+                u = energy_fn(
+                    r2,
+                    ea[..., :, None], eb[..., :, None],
+                    nbr_ea[..., None, :], nbr_eb[..., None, :],
+                )
+                u = jnp.where(nbr_valid[..., None, :], u, 0.0)
+                u = jnp.where(valid[..., :, None], u, 0.0)
+                energy = energy + 0.5 * jnp.sum(u)
 
     force = jnp.stack(forces, axis=-1)
     force = jnp.where(valid[..., None], force, 0.0)
