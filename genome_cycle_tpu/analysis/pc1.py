@@ -25,14 +25,11 @@ import logging
 from typing import NamedTuple
 
 import numpy as np
-import pandas as pd
 
 from .common import invoke_main, remove_none
 from .coolio import Cooler
 
 LOG = logging.getLogger()
-MATRIX_FORMAT = dict(dtype=np.float32, order="C")
-OUTPUT_FORMAT = dict(sep="\t", float_format="%g", na_rep="nan", index=False)
 
 
 def leading_singular_vector(
@@ -167,7 +164,10 @@ def compute_pc1(
     data_matrix[~np.isfinite(data_matrix)] = 0.0
 
     LOG.info(
-        ">> Found %d valid bins out of %d", data_matrix.shape[1], len(selection)
+        "Kept %d of %d bins (nonzero coverage%s)",
+        data_matrix.shape[1],
+        len(selection),
+        "" if use_covariance else " and variance",
     )
 
     vector, iters, delta = leading_singular_vector(
@@ -202,7 +202,7 @@ def main(
     matrix = clr.matrix(balance=(not use_raw))
 
     LOG.info("Loading contact matrix")
-    contact_matrix = np.asarray(matrix[:, :], **MATRIX_FORMAT)
+    contact_matrix = np.ascontiguousarray(matrix[:, :], dtype=np.float32)
     chrom_ranges = {chrom: clr.extent(chrom) for chrom in clr.chromnames}
 
     LOG.info("Computing O/E matrix + PC1")
@@ -215,25 +215,27 @@ def main(
     )
     LOG.info("Explained variance ratio: %.1f %%", evr * 100)
 
-    table = pd.DataFrame.from_dict(
-        {
-            "chrom": bins["chrom"].values,
-            "start": bins["start"].values,
-            "end": bins["end"].values,
-            "ev1": ev1,
-            "pc1": pc1,
-        }
+    # Output contract (columns, separators, NaN spelling, aux keys) follows
+    # the reference tool so downstream comparisons are drop-in.
+    table = bins[["chrom", "start", "end"]].copy()
+    table["ev1"] = ev1
+    table["pc1"] = pc1
+    table.to_csv(
+        output, sep="\t", float_format="%g", na_rep="nan", index=False
     )
-    table.to_csv(output, **OUTPUT_FORMAT)
 
     if aux_output:
-        aux_data = {
-            "explained_variance_ratio": float(evr),
-            "cis_decay_profile": [float(x) for x in expected.cis_by_separation],
-            "trans_contact": expected.trans_mean,
-        }
         with open(aux_output, "w") as file:
-            json.dump(aux_data, file)
+            json.dump(
+                {
+                    "explained_variance_ratio": float(evr),
+                    "cis_decay_profile": np.asarray(
+                        expected.cis_by_separation, dtype=float
+                    ).tolist(),
+                    "trans_contact": expected.trans_mean,
+                },
+                file,
+            )
 
 
 def parse_args() -> dict:

@@ -55,6 +55,9 @@ from ..ops.wall import wall_forces
 from ..utils.logging import progress_line
 
 
+SCALE_VIOLATION = 1 << 30  # contact_cell_overflow bit: cutoff > search cell
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineSettings:
     """Performance-tuning knobs of the TPU engine (not part of the reference
@@ -650,6 +653,16 @@ class InterphaseModel:
         core_now, _ = self.scales(jnp.asarray(step, x.dtype) * c.timestep)
         cutoff = c.contactmap_distance * core_now
         table, table_ov, _ = build_cell_table(self.contact_grid, x)
+        # 27-cell stencil invariant: the search cell must cover the current
+        # cutoff, else in-range pairs beyond the stencil are silently lost.
+        # The drivers size contact_cell_scale >= the core scale reached while
+        # a compiled chunk is live; a direct library user who violates that
+        # gets the SCALE_VIOLATION bit in the grid-overflow signal instead of
+        # silently dropped contacts (the retry loop re-buckets on it).
+        scale_bad = cutoff > self.contact_grid.cell_size * (1.0 + 1e-6)
+        table_ov = table_ov + jnp.where(
+            scale_bad, jnp.int32(SCALE_VIOLATION), jnp.int32(0)
+        )
         ct = build_contact_list(
             self.contact_grid, table, x, cutoff,
             self.settings.contact_capacity,
@@ -754,7 +767,7 @@ class InterphaseModel:
             cutoff = (
                 c.contactmap_distance * core_end + self.settings.contact_margin
             )
-            table, _, _ = build_cell_table(self.margin_grid, x)
+            table, margin_table_ov, _ = build_cell_table(self.margin_grid, x)
             contact = build_contact_list(
                 self.margin_grid, table, x, cutoff,
                 self.settings.contact_capacity,
@@ -782,6 +795,13 @@ class InterphaseModel:
                     n_events - np.int32(self.events_capacity),
                 ),
                 contact_cell_overflow=stats.contact_cell_overflow,
+            )
+            # Beads dropped from an overfull margin-grid cell would silently
+            # vanish from the pair list.  margin_grid capacity scales with
+            # cell_capacity (from_design), so surface the table overflow
+            # through cell_overflow — the knob whose growth enlarges it.
+            stats = stats._replace(
+                cell_overflow=jnp.maximum(stats.cell_overflow, margin_table_ov)
             )
             return (x, key, semiaxes, stats), events
 
@@ -844,7 +864,7 @@ class ChunkStats(NamedTuple):
     contact_overflow: jnp.ndarray  # () int32 contact-list row overflow
     drift2: jnp.ndarray            # () max squared drift within a segment
     event_overflow: jnp.ndarray    # () int32 event rows beyond capacity
-    contact_cell_overflow: jnp.ndarray = None  # () int32 tick search grid
+    contact_cell_overflow: jnp.ndarray  # () int32 tick search grid
 
     @classmethod
     def zero(cls, dtype=jnp.float32) -> "ChunkStats":
@@ -911,6 +931,19 @@ class _AdaptiveEngine:
         if bucket != self.contact_cell_scale:
             self.log(f"engine: contact-search cell bucket -> {bucket}")
             self.contact_cell_scale = bucket
+
+    def force_contact_scale(self, scale: float):
+        """Stencil-invariant recovery: the tick search saw a cutoff larger
+        than its cell (SCALE_VIOLATION).  Jump the bucket to ``scale``; if
+        already there the config's schedule exceeds every bucket."""
+        if self.contact_cell_scale >= scale:
+            raise ValueError(
+                "contact tick cutoff exceeds the largest search-cell bucket; "
+                "the core-scale schedule reaches beyond core_scale 1.0 — "
+                "raise EngineSettings.contact_cell_scale accordingly"
+            )
+        self.log(f"engine: contact-search cell bucket forced -> {scale}")
+        self.contact_cell_scale = scale
 
     def update_bound(self, max_abs_coord: float):
         """Track the occupied extent; the dense grid stays tight around it
@@ -1229,6 +1262,12 @@ def run_interphase(
                 continue
             if int(stats.contact_overflow) > 0:
                 engine.grow_contacts()
+                continue
+            if int(stats.contact_cell_overflow) >= SCALE_VIOLATION:
+                # The tick cutoff outgrew the search cell (stencil invariant):
+                # re-bucket the cell scale for the worst case instead of
+                # growing capacity (the wrong knob).
+                engine.force_contact_scale(1.0)
                 continue
             if int(stats.contact_cell_overflow) > 0:
                 engine.grow_contact_cells(model)

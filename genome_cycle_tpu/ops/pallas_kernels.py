@@ -47,7 +47,14 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # must match CompilerParams below
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # single source: also the CompilerParams cap
+
+# Resident (m, jb, chunk) pair temporaries in _kernel's inner j-block loop:
+# dx/dy/dz, r2, a_mix/b_mix, s_a (reused as core_a), s_b/s_b2/core_b, c —
+# conservatively 10 live at once, plus the fx/fy/fz accumulators at
+# (m, chunk).  vmem_plan budgets with this count; if the kernel body gains a
+# block-shaped temporary, bump it here.
+KERNEL_PAIR_TEMPS = 10
 
 
 def vmem_plan(dims: Tuple[int, int, int], m: int):
@@ -75,7 +82,7 @@ def vmem_plan(dims: Tuple[int, int, int], m: int):
         for jb in jbs:
             if m % jb != 0:
                 continue
-            temporaries = 4 * 10 * m * jb * chunk
+            temporaries = 4 * KERNEL_PAIR_TEMPS * m * jb * chunk
             if fixed + temporaries <= VMEM_LIMIT_BYTES:
                 return chunk, jb
     return None
@@ -262,7 +269,7 @@ def ab_pair_forces_pallas(
     # working set well under the physical limit via the jb block size.
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
-        vmem_limit_bytes=100 * 1024 * 1024,
+        vmem_limit_bytes=VMEM_LIMIT_BYTES,
     )
     return pl.pallas_call(
         kernel,
