@@ -166,7 +166,7 @@ def _plan(n_beads: int):
     )
 
 
-def _measure_variant(n_beads: int, use_pallas: bool):
+def _measure_variant(n_beads: int, engine: str = "block"):
     import jax
     import jax.numpy as jnp
 
@@ -175,6 +175,7 @@ def _measure_variant(n_beads: int, use_pallas: bool):
     from genome_cycle_tpu.models.interphase import EngineSettings
 
     plan = _plan(n_beads)
+    use_block = engine == "block"
     settings = EngineSettings(
         cell_capacity=plan["cell_capacity"],
         contact_capacity=plan["contact_capacity"],
@@ -184,11 +185,31 @@ def _measure_variant(n_beads: int, use_pallas: bool):
         grid_bound=plan["radius"] + 1.0,
         dense_bound=plan["dense_bound"],
         dense_cell_scale=plan["bucket"],
+        use_block_pairs=use_block,
         use_dense_grid=True,
-        use_pallas=use_pallas,
+        use_pallas=(engine == "pallas"),
     )
+    x_host = _chain_walk(n_beads, CHAINS, plan["radius"])
+
+    if use_block:
+        # Exact window watermark from the initial structure (one tiny jit);
+        # the in-run retry loop handles drift growth.
+        from genome_cycle_tpu.ops.block_pairs import (
+            BlockGrid, build_structure,
+        )
+
+        bgrid = BlockGrid.cubic(
+            bound=plan["dense_bound"], cell_size=0.3, width=128
+        )
+        mw = int(jax.jit(
+            lambda x: build_structure(bgrid, x).max_width
+        )(jnp.asarray(x_host)))
+        settings = __import__("dataclasses").replace(
+            settings, block_width=max(_round_up(int(mw * 1.25), 128), 256)
+        )
+
     model = ge._make_model(n_beads=n_beads, chains=CHAINS, settings=settings)
-    x_host = _chain_walk(n_beads, CHAINS, plan["radius"])[: model.n]
+    x_host = x_host[: model.n]
 
     x = jnp.asarray(x_host)
     key = jax.random.PRNGKey(0)
@@ -208,22 +229,34 @@ def _measure_variant(n_beads: int, use_pallas: bool):
         jax.block_until_ready(carry[0])
         stats = carry[3]
         bad = {
-            "cell": int(stats.cell_overflow),
+            # On the block path contact_cell_overflow is the tick's window
+            # width overflow — same knob as the pair engine's channel.
+            "cell": int(stats.cell_overflow)
+            + (int(stats.contact_cell_overflow) if use_block else 0),
             "contact": int(stats.contact_overflow),
             "events": int(stats.event_overflow),
         }
         if any(bad.values()):
             print(
-                f"capacity overflow {bad} at cell_capacity="
-                f"{model.settings.cell_capacity}; retrying doubled",
+                f"capacity overflow {bad} (watermark "
+                f"{int(stats.cell_fill)}); retrying grown",
                 file=sys.stderr,
             )
             import dataclasses
 
+            if use_block and bad["cell"]:
+                wm = int(stats.cell_fill)
+                settings = dataclasses.replace(
+                    settings,
+                    block_width=max(
+                        _round_up(int(wm * 1.25), 128),
+                        settings.block_width + 128,
+                    ),
+                )
             settings = dataclasses.replace(
                 settings,
                 cell_capacity=settings.cell_capacity
-                * (2 if bad["cell"] else 1),
+                * (2 if bad["cell"] and not use_block else 1),
                 contact_capacity=settings.contact_capacity
                 * (2 if bad["contact"] else 1),
                 contact_events_capacity=(
@@ -242,17 +275,25 @@ def _measure_variant(n_beads: int, use_pallas: bool):
         dt = (time.perf_counter() - t0) / TIMED_REPS
 
         steps_per_s = BENCH_STEPS / dt
-        grid = model.dense_grid
-        lanes_per_step = grid.num_cells * 27.0 * grid.capacity**2
+        if model.block_grid is not None:
+            bg = model.block_grid
+            n_blocks = -(-model.n // bg.block)
+            wq = (-(-bg.width // 128) + 1) * 128
+            lanes_per_step = n_blocks * bg.block * 9.0 * wq
+            shape_note = {"block_width": bg.width}
+        else:
+            grid = model.dense_grid
+            lanes_per_step = grid.num_cells * 27.0 * grid.capacity**2
+            shape_note = {"cell_capacity": grid.capacity}
         flops = lanes_per_step * FLOPS_PER_PAIR_LANE * steps_per_s
         return dict(
             bead_steps=steps_per_s * model.n,
             steps_per_s=steps_per_s,
             n=model.n,
-            cell_capacity=grid.capacity,
             pair_lanes_per_s=lanes_per_step * steps_per_s,
             tflops_est=flops / 1e12,
             mfu_vs_bf16_peak=flops / V5E_BF16_PEAK,
+            **shape_note,
         )
     raise RuntimeError("cell capacity overflow persisted after retry")
 
@@ -326,12 +367,12 @@ def measure_tpu(deadline):
     best result seen; a timeout or crash later can no longer lose it.
     """
     ladder = [
-        ("dense-xla-25k", 25_000, False, 1200),
-        ("dense-xla-100k", 100_000, False, 1200),
-        ("pallas-100k", 100_000, True, 900),
+        ("block-25k", 25_000, "block", 1200),
+        ("block-100k", 100_000, "block", 1200),
+        ("pallas-100k", 100_000, "pallas", 900),
     ]
     best = None
-    for name, n_beads, use_pallas, timeout in ladder:
+    for name, n_beads, engine, timeout in ladder:
         remaining = deadline - time.perf_counter()
         if remaining < 180:
             print(f"bench deadline reached; skipping {name}", file=sys.stderr)
@@ -345,7 +386,7 @@ def measure_tpu(deadline):
             "import sys, json; sys.path.insert(0, %r); import bench; "
             "res = bench._measure_variant(%d, %r); "
             "print('BENCHRESULT ' + json.dumps(res))"
-            % (str(REPO), n_beads, use_pallas)
+            % (str(REPO), n_beads, engine)
         )
         try:
             out = subprocess.run(

@@ -126,6 +126,18 @@ def main(argv=None):
     p.add_argument("config")
     p.add_argument("chains")
 
+    p = sub.add_parser(
+        "ensemble",
+        help="R replica interphase runs in lock-step (one vmapped program), "
+        "one trajectory file each — the reference's multi-file ensemble "
+        "(merged downstream by `cool` over all files)",
+    )
+    p.add_argument("-n", "--replicas", type=int, default=4)
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("-o", "--output-prefix", required=True)
+    p.add_argument("config")
+    p.add_argument("chains")
+
     sub.add_parser(
         "analysis-help",
         help="analysis tools: " + ", ".join(ANALYSIS_COMMANDS),
@@ -188,6 +200,31 @@ def main(argv=None):
             run_anatelophase(store, log=log)
             transition_interphase(store, log=log)
             run_interphase(store, log=log)
+
+    elif args.command == "ensemble":
+        import contextlib
+
+        from .models.anatelophase import run_anatelophase
+        from .models.prepare import run_prepare
+        from .models.transitions import transition_interphase
+        from .parallel.ensemble import run_ensemble_interphase
+
+        paths = [
+            f"{args.output_prefix}rep_{k}.h5" for k in range(args.replicas)
+        ]
+        for k, path in enumerate(paths):
+            seed = None if args.seed is None else args.seed + k
+            log(f"=== replica {k}: {path} ===")
+            run_prepare(path, args.config, args.chains, seed, log=log)
+            with SimulationStore(path) as store:
+                run_anatelophase(store, log=log)
+                transition_interphase(store, log=log)
+        log(f"=== ensemble interphase: {args.replicas} replicas lock-step ===")
+        with contextlib.ExitStack() as stack:
+            stores = [
+                stack.enter_context(SimulationStore(p)) for p in paths
+            ]
+            run_ensemble_interphase(stores, log=log)
 
     elif args.command == "cycles":
         from .models.anatelophase import run_anatelophase

@@ -39,6 +39,12 @@ from ..ops.contact import (
     update_contact_counts,
 )
 from ..ops.integrator import BDParams, bd_update
+from ..ops.block_pairs import (
+    BlockGrid,
+    block_contact_events,
+    block_pair_forces,
+    build_structure,
+)
 from ..ops.dense_grid import (
     DenseGrid,
     build_slabs,
@@ -97,8 +103,18 @@ class EngineSettings:
     contact_cell_scale: float = 1.0
     grid_bound: float = 8.0
     dtype: str = "float32"
-    # Dense-slab pair engine (gather-free; the TPU-fast path).  The gather
-    # fold remains as the readable reference implementation and for tests.
+    # Sorted-block range pair engine (ops/block_pairs.py): the TPU hot path
+    # for both the pair force and the contact tick.  Lanes scale linearly
+    # with density skew (the dense slab engine's M^2 blow-up crashed the
+    # 100k production config); measured 5.4x/20x faster than the slabs at
+    # 25k/100k beads on v5e.  None = auto (on for TPU).
+    use_block_pairs: Optional[bool] = None
+    # Per-column candidate-window capacity of the block engine; the adaptive
+    # driver grows/shrinks it from the reported watermark.
+    block_width: int = 1024
+    # Dense-slab pair engine (gather-free; the previous TPU path, kept for
+    # comparison and as a fallback).  The gather fold remains as the
+    # readable reference implementation and for tests.
     use_dense_grid: bool = True
     dense_bound: float = 4.0
     # Fused Pallas kernel for the pair force (None = auto: on for TPU).
@@ -156,6 +172,7 @@ class InterphaseModel:
     use_loops: bool
     use_droplet: bool
     dense_grid: Optional[DenseGrid] = None
+    block_grid: Optional[BlockGrid] = None
 
     # -- construction --------------------------------------------------------
 
@@ -254,6 +271,24 @@ class InterphaseModel:
                 cell_size=cell_size * settings.dense_cell_scale,
                 capacity=settings.cell_capacity,
             )
+        use_block = settings.use_block_pairs
+        if use_block is None:
+            use_block = jax.default_backend() == "tpu"
+        block_grid = None
+        if use_block and n > settings.brute_force_threshold:
+            # One grid serves the pair force AND the contact tick: the cell
+            # covers both the interaction diameter and the largest contact
+            # cutoff the schedule can reach (monotonic between
+            # core_scale_init and 1), so the one-cell stencil invariant
+            # holds statically for every tick — no runtime scale violation
+            # is possible on this path.
+            max_core = max(1.0, icfg.core_scale_init)
+            block_cell = max(cell_size, icfg.contactmap_distance * max_core)
+            block_grid = BlockGrid.cubic(
+                bound=settings.dense_bound,
+                cell_size=block_cell,
+                width=settings.block_width,
+            )
 
         f = jnp.float32 if settings.dtype == "float32" else jnp.float64
         return cls(
@@ -276,6 +311,7 @@ class InterphaseModel:
             use_loops=use_loops,
             use_droplet=use_droplet,
             dense_grid=dense_grid,
+            block_grid=block_grid,
         )
 
     # -- scale schedule ------------------------------------------------------
@@ -408,13 +444,12 @@ class InterphaseModel:
     def pair_forces_full(self, positions, core_scale, with_energy=False):
         """A/B copolymer repulsion for the whole system.
 
-        Uses the gather-free dense-slab engine when enabled (the TPU hot
-        path); returns (forces (N,3), energy, overflow, max_fill).
-
-        Energy requests always take the gather path: energy is only needed at
-        sampling boundaries (1/1000 steps), and the dense engines would
-        materialize (cells, M, M) blocks for it — prohibitive at high
-        capacity.
+        Engine order: O(N^2) brute force below the threshold; the
+        sorted-block range engine (the TPU hot path, energy included — its
+        window tiles cost the same with or without the energy term); then
+        the dense slab / Pallas / gather paths.  Returns (forces (N,3),
+        energy, overflow, watermark) — for the block engine the last two are
+        the candidate-window overflow count and width watermark.
         """
         if self.n <= self.settings.brute_force_threshold:
             coeff, energy_fn = self._pair_kernels(core_scale, with_energy)
@@ -423,6 +458,29 @@ class InterphaseModel:
             )
             zero = jnp.zeros((), jnp.int32)
             return forces, energy, zero, zero
+
+        if self.block_grid is not None:
+            params = self._ab_params(core_scale)
+
+            def coeff_b(r2, e_i, e_j):
+                return pot.ab_pair_force_coeff(
+                    r2, 0.5 * (e_i[0] + e_j[0]), 0.5 * (e_i[1] + e_j[1]),
+                    params,
+                )
+
+            energy_b = None
+            if with_energy:
+                def energy_b(r2, e_i, e_j):
+                    return pot.ab_pair_energy(
+                        r2, 0.5 * (e_i[0] + e_j[0]), 0.5 * (e_i[1] + e_j[1]),
+                        params,
+                    )
+
+            forces, energy, overflow, max_width = block_pair_forces(
+                self.block_grid, positions, (self.af, self.bf),
+                coeff_b, energy_b,
+            )
+            return forces, energy, overflow, max_width
 
         if self.dense_grid is None or with_energy:
             table, ov, fill = build_cell_table(self.grid, positions)
@@ -433,9 +491,12 @@ class InterphaseModel:
 
         params = self._ab_params(core_scale)
 
-        use_pallas = self.settings.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+        # Demoted from auto-on (round 4): the sorted-block engine runs the
+        # pair force at the VPU roofline with ~13x fewer lanes than any
+        # slab-layout formulation, so the Pallas slab kernel cannot beat the
+        # shipping path on this workload; it remains as an explicit opt-in
+        # (benchmarked by bench.py's pallas variant — see BASELINE.md).
+        use_pallas = bool(self.settings.use_pallas)
         if use_pallas and not with_energy:
             from ..ops.pallas_kernels import (
                 ab_pair_forces_pallas,
@@ -652,6 +713,19 @@ class InterphaseModel:
         c = self.config
         core_now, _ = self.scales(jnp.asarray(step, x.dtype) * c.timestep)
         cutoff = c.contactmap_distance * core_now
+
+        if self.block_grid is not None:
+            # Sorted-block tick: same machinery as the pair force (the block
+            # cell statically covers every cutoff the schedule can reach),
+            # with scatter-free direct event extraction — no per-row
+            # capacity exists on this path.  Width overflow rides the pair
+            # engine's channel via the driver's shared width knob.
+            events, n_events, width_ov, _ = block_contact_events(
+                self.block_grid, x, cutoff, self.events_capacity
+            )
+            zero = jnp.zeros((), jnp.int32)
+            return events, n_events, zero, width_ov
+
         table, table_ov, _ = build_cell_table(self.contact_grid, x)
         # 27-cell stencil invariant: the search cell must cover the current
         # cutoff, else in-range pairs beyond the stencil are silently lost.
@@ -675,9 +749,16 @@ class InterphaseModel:
     def events_capacity(self) -> int:
         # Auto default: ~5.5 contact pairs per bead at G1 density, times the
         # union growth over a segment's ticks (measured ~9.4/bead at 25k
-        # beads), with headroom; overflow is detected and grows this.
+        # beads), with headroom; overflow is detected and grows this.  The
+        # block tick extracts each tick separately (no union), and its
+        # per-event stage materializes (E, G*K) index gathers — a tighter
+        # default keeps the fused 100k chunk inside HBM.
         cap = self.settings.contact_events_capacity
-        return cap if cap is not None else max(4096, 14 * self.n)
+        if cap is not None:
+            return cap
+        if self.block_grid is not None:
+            return max(4096, 8 * self.n)
+        return max(4096, 14 * self.n)
 
     def rebuild_interval(self, chunk_steps: int) -> int:
         """Largest divisor of the chunk length not exceeding the requested
@@ -903,9 +984,14 @@ class _AdaptiveEngine:
         self.contact_cell_scale = base.contact_cell_scale
         self.dense_bound = base.dense_bound
         self.dense_cell_scale = base.dense_cell_scale
+        self.block_width = base.block_width
         # Brute-force systems ignore the cell grids entirely: freeze every
         # grid adaptation (each change would recompile for nothing).
         self.brute = design.particle_count <= base.brute_force_threshold
+        use_block = base.use_block_pairs
+        if use_block is None:
+            use_block = jax.default_backend() == "tpu"
+        self.block = use_block and not self.brute
         self._cache: dict[tuple, dict] = {}
 
     def update_cell_scale(self, core_scale: float):
@@ -923,7 +1009,10 @@ class _AdaptiveEngine:
         CONTACT tick-search grid: buckets ENABLED.  The gather fold's lanes
         scale with per-cell capacity^2, and there the smaller cell wins big
         (0.72 s vs 2.5 s per tick at 25k beads) — track the cutoff."""
-        if self.brute:
+        if self.brute or self.block:
+            # The block engine's tick shares the pair grid (cell = the
+            # static max of interaction diameter and schedule-max cutoff);
+            # bucket changes would only churn recompiles.
             return
         for bucket in (0.52, 0.6, 0.7, 0.8, 0.9, 1.0):
             if core_scale <= bucket + 1e-6:
@@ -968,7 +1057,7 @@ class _AdaptiveEngine:
             self.cell_capacity, self.contact_capacity, self.contact_margin,
             self.rebuild_interval, self.events_capacity, self.dense_bound,
             self.dense_cell_scale, self.contact_cell_capacity,
-            self.contact_cell_scale, relax,
+            self.contact_cell_scale, self.block_width, relax,
         )
         if key not in self._cache:
             settings = dataclasses.replace(
@@ -982,6 +1071,10 @@ class _AdaptiveEngine:
                 contact_cell_scale=self.contact_cell_scale,
                 dense_bound=self.dense_bound,
                 dense_cell_scale=self.dense_cell_scale,
+                block_width=self.block_width,
+                use_block_pairs=self.block,
+                # The block engine handles the relaxation structure's density
+                # skew with linear width growth; the slab engine cannot.
                 use_dense_grid=self.settings.use_dense_grid and not relax,
             )
             model = InterphaseModel.from_design(self.design, self.config, settings)
@@ -1001,7 +1094,20 @@ class _AdaptiveEngine:
             )
         return self._cache[key]
 
-    def grow_cells(self):
+    MAX_WIDTH = 1 << 17
+
+    def grow_cells(self, watermark: int = 0):
+        """Pair-engine capacity retry.  For the block engine the knob is the
+        candidate-window width, grown to cover the reported watermark (the
+        slab engine's doubling left the round-3 bench at 2x the needed
+        capacity — 4x wasted lanes)."""
+        if self.block:
+            need = int(np.ceil(max(watermark * 1.25, self.block_width + 128)))
+            self.block_width = min(-(-need // 128) * 128, self.MAX_WIDTH)
+            if self.block_width >= self.MAX_WIDTH:
+                raise RuntimeError("block window width limit exceeded")
+            self.log(f"engine: growing block width to {self.block_width}")
+            return
         if self.cell_capacity >= self.MAX_CAPACITY:
             raise RuntimeError("cell capacity limit exceeded")
         self.cell_capacity *= 2
@@ -1009,6 +1115,14 @@ class _AdaptiveEngine:
 
     def shrink_cells_if_idle(self, max_fill: int):
         if self.brute:
+            return
+        if self.block:
+            want = max(-(-int(max_fill * 1.25) // 128) * 128, 256)
+            # Hysteresis: only shrink past a whole step so a watermark
+            # hovering near a 128 boundary cannot thrash recompiles.
+            if max_fill > 0 and want <= self.block_width - 256:
+                self.block_width = want
+                self.log(f"engine: shrinking block width to {want}")
             return
         if self.cell_capacity > 2 * max(max_fill, 4) and self.cell_capacity > 8:
             self.cell_capacity //= 2
@@ -1068,17 +1182,16 @@ class _AdaptiveEngine:
         self.log(f"engine: growing event capacity to {self.events_capacity}")
 
     def probe_capacity(self, positions):
-        """Size the cell capacity from the actual densest cell before the
-        first chunk (each adaptive retry costs a compile + a slow chunk;
-        spline-resampled structures can exceed any reasonable default)."""
+        """Size the cell capacity (and block window width) from the actual
+        structure before the first chunk (each adaptive retry costs a
+        compile + a slow chunk; spline-resampled structures can exceed any
+        reasonable default)."""
         if self.brute:
             return
         from ..ops.neighbor import CellGrid, build_cell_table
 
-        cell_size = max(
-            self.config.interphase.a_core_diameter,
-            self.config.interphase.b_core_diameter,
-        )
+        icfg = self.config.interphase
+        cell_size = max(icfg.a_core_diameter, icfg.b_core_diameter)
         grid = CellGrid.cubic(
             bound=self.settings.grid_bound, cell_size=cell_size, capacity=1
         )
@@ -1092,6 +1205,26 @@ class _AdaptiveEngine:
                 f"cell capacity -> {needed}"
             )
             self.cell_capacity = min(needed, self.MAX_CAPACITY)
+        if self.block:
+            # The window watermark is exact and independent of the width
+            # setting — one cheap structure build sizes the engine.
+            max_core = max(1.0, icfg.core_scale_init)
+            block_cell = max(cell_size, icfg.contactmap_distance * max_core)
+            bgrid = BlockGrid.cubic(
+                bound=self.dense_bound, cell_size=block_cell, width=128
+            )
+            mw = int(
+                jax.jit(lambda x: build_structure(bgrid, x).max_width)(
+                    positions
+                )
+            )
+            want = max(-(-int(mw * 1.25) // 128) * 128, 256)
+            if want != self.block_width:
+                self.log(
+                    f"engine: probed window watermark = {mw}; "
+                    f"block width -> {want}"
+                )
+                self.block_width = min(want, self.MAX_WIDTH)
 
 
 def run_interphase(
@@ -1155,7 +1288,7 @@ def run_interphase(
             carry = bundle["relax_chunk"]((*state, zero_stats()))
             overflow, max_fill = (int(v) for v in carry[3])
             if overflow > 0:
-                engine.grow_cells()
+                engine.grow_cells(max_fill)
                 continue
             break
         state = carry[:3]
@@ -1258,7 +1391,7 @@ def run_interphase(
             )
             x, k, semiaxes, stats = carry
             if int(stats.cell_overflow) > 0:
-                engine.grow_cells()
+                engine.grow_cells(int(stats.cell_fill))
                 continue
             if int(stats.contact_overflow) > 0:
                 engine.grow_contacts()
@@ -1270,7 +1403,12 @@ def run_interphase(
                 engine.force_contact_scale(1.0)
                 continue
             if int(stats.contact_cell_overflow) > 0:
-                engine.grow_contact_cells(model)
+                if engine.block:
+                    # On the block path this channel is the tick's window
+                    # width overflow — same knob as the pair engine.
+                    engine.grow_cells(int(stats.cell_fill))
+                else:
+                    engine.grow_contact_cells(model)
                 continue
             if int(stats.event_overflow) > 0:
                 engine.grow_events(model)

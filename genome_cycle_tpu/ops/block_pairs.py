@@ -16,19 +16,23 @@ candidates).  This module reformulates the same computation with lanes
    [c_lo + base_g - 1, c_hi + base_g + 1] (the dz in {-1,0,1} span merges
    into one id interval) — occupy ONE CONTIGUOUS SLICE of the sorted bead
    arrays, because cell id -> sorted position is monotone.  Each block
-   therefore reads 9 dynamic slices of width W ~ B + O(cell fill), not 27
-   capacity-padded cell blocks;
-4. pair math runs on dense (B, W) tiles per block and column — elementwise
-   VPU work with no per-element gathers in the pair loop (the slice gather
-   is 9 contiguous row-reads per block);
-5. per-bead forces reduce over the W axis and scatter back through the sort
-   permutation.
+   therefore reads 9 dynamic windows, not 27 capacity-padded cell blocks;
+4. j-side channels are fetched as whole 128-lane rows (slice starts snapped
+   down to a row boundary): per-element gathers cost ~30x their bytes on
+   TPU — the element-gather variant of this engine ran 28x fewer lanes than
+   the slab engine at the same wall time; row gathers are the fast path;
+5. pair math runs on dense (B, Wq) tiles per block and column — elementwise
+   VPU work — then reduces over the window axis and scatters back through
+   the sort permutation.
 
-Total lanes = N * 9 * W.  Density skew widens W *linearly* (a hot cell
-stretches only the slices that contain it), the empty-cube overhead of the
-slab layout disappears (empty cells occupy no sorted positions), and the
-largest temporary is a (N/B, B, W) tile block — no multi-GB resident set at
-100k beads (the slab engine's 27 unrolled offsets crashed the device there).
+Total lanes = N * 9 * Wq.  Density skew widens the window *linearly* (a hot
+cell stretches only the slices containing it), the empty-cube overhead of
+the slab layout disappears (empty cells occupy no sorted positions), and the
+largest temporary is a (N/B, B, Wq) tile block — no multi-GB resident set
+at 100k beads (the slab engine's 27 unrolled offsets crashed the device
+there).  Measured on v5e (bench_block_vs_slab.py, full call including sort
+and scatter-back): 10.7 ms vs 57.6 ms at 25k beads, 27 ms vs 531 ms at
+100k, force agreement 2e-7 relative.
 
 Stencil-column intervals of one block can overlap when the block spans
 nearly a whole z-column of cells (sparse regions, small grids); overlapping
@@ -39,26 +43,28 @@ once (`test_block_pairs.py` covers degenerate grids).
 
 Correctness contract matches :func:`neighbor.pairwise_forces_cell`: beads
 outside the grid clamp to boundary cells (true coordinates still used),
-slice-width overflow is counted and surfaced, never silently dropped.
+window-width overflow is counted and surfaced, never silently dropped.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _FAR = 1e15
+_ROW = 128  # j-side gather granularity (one lane tile)
 
 
 @dataclasses.dataclass(frozen=True)
 class BlockGrid:
     """Static geometry + engine shape (jit cache key).
 
-    ``width`` is the per-column candidate-slice capacity W; the engine
-    reports the widest slice actually needed so drivers can retry a grown
+    ``width`` is the per-column candidate-window capacity W; the engine
+    reports the widest window actually needed so drivers can retry a grown
     width exactly like cell-capacity overflow.
     """
 
@@ -94,9 +100,134 @@ class BlockGrid:
         )
 
 
+class BlockStructure(NamedTuple):
+    """Sorted bead layout + per-block candidate windows (one build per call;
+    the force and contact consumers share it when evaluated at the same
+    positions)."""
+
+    order: jnp.ndarray        # (n,) sorted position -> original bead id
+    planes_r: tuple           # 3x (n_rows, 128) sorted coordinate rows
+    extras_r: tuple           # per-channel (n_rows, 128) sorted rows
+    j_lo: jnp.ndarray         # (9, n_blocks) window starts (sorted space)
+    j_hi: jnp.ndarray         # (9, n_blocks) window ends, exclusive
+    overflow: jnp.ndarray     # () int32 candidates beyond the width capacity
+    max_width: jnp.ndarray    # () int32 widest window needed (watermark)
+
+
+def _shape(grid: BlockGrid, n: int):
+    b = grid.block
+    n_blocks = -(-n // b)
+    n_pad = n_blocks * b
+    n_rows = -(-n_pad // _ROW)
+    wq = (-(-grid.width // _ROW) + 1) * _ROW  # whole rows covering W + snap
+    return b, n_blocks, n_pad, n_rows, wq
+
+
+def build_structure(grid: BlockGrid, positions, extras=()) -> BlockStructure:
+    """Sort beads by cell id and derive each block's 9 candidate windows."""
+    n = positions.shape[0]
+    b, n_blocks, n_pad, n_rows, _ = _shape(grid, n)
+    dtype = positions.dtype
+
+    lower = jnp.asarray(grid.lower, dtype)
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    coords = jnp.floor((positions - lower) / grid.cell_size).astype(jnp.int32)
+    coords = jnp.clip(coords, 0, dims - 1)
+    _, ny, nz = grid.dims
+    cid = (coords[:, 0] * ny + coords[:, 1]) * nz + coords[:, 2]
+
+    order = jnp.argsort(cid)
+    cid_s = cid[order]
+
+    rows_pad = n_rows * _ROW - n
+
+    def sort_rows(v, fill):
+        v = v[order]
+        if rows_pad:
+            v = jnp.concatenate([v, jnp.full((rows_pad,), fill, v.dtype)])
+        return v.reshape(n_rows, _ROW)
+
+    planes_r = tuple(sort_rows(positions[:, k], _FAR) for k in range(3))
+    extras_r = tuple(sort_rows(e, 0.0) for e in extras)
+
+    # cell id -> sorted bead range (monotone).
+    cell_ids = jnp.arange(grid.num_cells + 1, dtype=cid_s.dtype)
+    starts = jnp.searchsorted(cid_s, cell_ids, side="left").astype(jnp.int32)
+
+    blk = jnp.arange(n_blocks, dtype=jnp.int32)
+    c_lo = cid_s[blk * b]
+    c_hi = cid_s[jnp.minimum(blk * b + b - 1, n - 1)]
+
+    bases = grid.column_bases
+    j_lo_list, j_hi_list = [], []
+    for base in bases:
+        lo_cell = jnp.clip(c_lo + base - 1, 0, grid.num_cells)
+        hi_cell = jnp.clip(c_hi + base + 2, 0, grid.num_cells)  # exclusive
+        j_lo_list.append(starts[lo_cell])
+        j_hi_list.append(starts[hi_cell])
+    for g in range(len(bases) - 1):
+        # Ascending disjoint intervals: drop any overlap into the next column
+        # (cell coverage of the union is unchanged).
+        j_hi_list[g] = jnp.minimum(j_hi_list[g], j_lo_list[g + 1])
+
+    widths = [jnp.maximum(hi - lo, 0) for lo, hi in zip(j_lo_list, j_hi_list)]
+    max_width = jnp.maximum(
+        jnp.max(jnp.stack([jnp.max(wd) for wd in widths])), 0
+    ).astype(jnp.int32)
+    overflow = sum(
+        jnp.sum(jnp.maximum(wd - grid.width, 0)) for wd in widths
+    ).astype(jnp.int32)
+
+    return BlockStructure(
+        order=order.astype(jnp.int32),
+        planes_r=planes_r,
+        extras_r=extras_r,
+        j_lo=jnp.stack(j_lo_list),
+        j_hi=jnp.stack(j_hi_list),
+        overflow=overflow,
+        max_width=max_width,
+    )
+
+
+def _window(grid: BlockGrid, struct: BlockStructure, g: int, n: int):
+    """Column g's row-quantized j-side window.
+
+    Returns (j_planes 3x(n_blocks, Wq), j_extras, sj (n_blocks, Wq) sorted
+    lane ids, valid (n_blocks, Wq)).
+    """
+    b, n_blocks, n_pad, n_rows, wq = _shape(grid, n)
+    k_rows = wq // _ROW
+    j_lo = struct.j_lo[g]
+    j_hi = struct.j_hi[g]
+    row0 = j_lo // _ROW
+    rows_raw = row0[:, None] + jnp.arange(k_rows, dtype=jnp.int32)[None, :]
+    rows = jnp.minimum(rows_raw, n_rows - 1)
+    j_planes = tuple(p[rows].reshape(n_blocks, wq) for p in struct.planes_r)
+    j_extras = tuple(e[rows].reshape(n_blocks, wq) for e in struct.extras_r)
+    # Lane ids from the UNCLAMPED rows: a clamped duplicate row re-reads real
+    # beads, and ids past the end make the validity mask reject them (ids
+    # from the clamped rows would double-count the final rows).
+    sj = (rows_raw[:, :, None] * _ROW
+          + jnp.arange(_ROW, dtype=jnp.int32)).reshape(n_blocks, wq)
+    valid = (sj >= j_lo[:, None]) & (sj < j_hi[:, None])
+    return j_planes, j_extras, sj, valid
+
+
+def _i_tiles(grid: BlockGrid, struct: BlockStructure, n: int):
+    b, n_blocks, n_pad, _, _ = _shape(grid, n)
+    si = jnp.arange(n_pad, dtype=jnp.int32).reshape(n_blocks, b)
+    i_planes = tuple(
+        p.reshape(-1)[:n_pad].reshape(n_blocks, b) for p in struct.planes_r
+    )
+    i_extras = tuple(
+        e.reshape(-1)[:n_pad].reshape(n_blocks, b) for e in struct.extras_r
+    )
+    return si, i_planes, i_extras
+
+
 def block_pair_forces(grid: BlockGrid, positions, extras, coeff_fn,
-                      energy_fn=None):
-    """Pairwise forces via sorted-block range slices.
+                      energy_fn=None, struct: BlockStructure | None = None):
+    """Pairwise forces via sorted-block range windows.
 
     ``coeff_fn(r2, e_i, e_j) -> c`` with F_i = sum_j c_ij (x_i - x_j);
     ``e_i``/``e_j`` are tuples of the ``extras`` channels broadcast to the
@@ -110,109 +241,17 @@ def block_pair_forces(grid: BlockGrid, positions, extras, coeff_fn,
     ``max_width`` is the watermark for adaptive sizing.
     """
     n = positions.shape[0]
-    b = grid.block
-    w = grid.width
-    n_blocks = -(-n // b)
-    n_pad = n_blocks * b
+    b, n_blocks, n_pad, _, _ = _shape(grid, n)
     dtype = positions.dtype
+    if struct is None:
+        struct = build_structure(grid, positions, extras)
 
-    lower = jnp.asarray(grid.lower, dtype)
-    dims = jnp.asarray(grid.dims, jnp.int32)
-    coords = jnp.floor((positions - lower) / grid.cell_size).astype(jnp.int32)
-    coords = jnp.clip(coords, 0, dims - 1)
-    _, ny, nz = grid.dims
-    cid = (coords[:, 0] * ny + coords[:, 1]) * nz + coords[:, 2]
-
-    order = jnp.argsort(cid)
-    cid_s = cid[order]
-
-    # Sorted per-coordinate planes + extra channels, padded to whole blocks.
-    pad = n_pad - n
-
-    def sort_pad(v, fill):
-        v = v[order]
-        if pad:
-            v = jnp.concatenate([v, jnp.full((pad,), fill, v.dtype)])
-        return v
-
-    planes_s = tuple(sort_pad(positions[:, k], _FAR) for k in range(3))
-    extras_s = tuple(sort_pad(e, 0.0) for e in extras)
-
-    # cell id -> sorted bead range (monotone).
-    cell_ids = jnp.arange(grid.num_cells + 1, dtype=cid_s.dtype)
-    starts = jnp.searchsorted(cid_s, cell_ids, side="left").astype(jnp.int32)
-
-    # Block cell spans.
-    blk = jnp.arange(n_blocks, dtype=jnp.int32)
-    c_lo = cid_s[blk * b]
-    c_hi = cid_s[jnp.minimum(blk * b + b - 1, n - 1)]
-
-    # Per-column candidate slices [j_lo, j_hi), clipped disjoint.
-    bases = grid.column_bases
-    j_lo_list, j_hi_list = [], []
-    for base in bases:
-        lo_cell = jnp.clip(c_lo + base - 1, 0, grid.num_cells)
-        hi_cell = jnp.clip(c_hi + base + 2, 0, grid.num_cells)  # exclusive
-        j_lo_list.append(starts[lo_cell])
-        j_hi_list.append(starts[hi_cell])
-    for g in range(len(bases) - 1):
-        # Ascending disjoint intervals: drop any overlap into the next column
-        # (cell coverage of the union is unchanged).
-        j_hi_list[g] = jnp.minimum(j_hi_list[g], j_lo_list[g + 1])
-        j_lo_list[g + 1] = jnp.maximum(j_lo_list[g + 1], j_hi_list[g])
-
-    widths = [jnp.maximum(hi - lo, 0) for lo, hi in zip(j_lo_list, j_hi_list)]
-    max_width = jnp.maximum(
-        jnp.max(jnp.stack([jnp.max(wd) for wd in widths])), 0
-    ).astype(jnp.int32)
-    overflow = sum(
-        jnp.sum(jnp.maximum(wd - w, 0)) for wd in widths
-    ).astype(jnp.int32)
-
-    # i-side tiles.
-    si = jnp.arange(n_pad, dtype=jnp.int32).reshape(n_blocks, b)
-    i_planes = tuple(p.reshape(n_blocks, b) for p in planes_s)
-    i_extras = tuple(e.reshape(n_blocks, b) for e in extras_s)
-
+    si, i_planes, i_extras = _i_tiles(grid, struct, n)
     forces = [jnp.zeros((n_blocks, b), dtype) for _ in range(3)]
     energy = jnp.asarray(0.0, dtype)
 
-    # Row-quantized candidate windows: snap each slice start down to a
-    # 128-lane row and fetch whole rows — per-element gathers of the j-side
-    # channels cost ~30x their bytes on TPU (measured: the element-gather
-    # variant ran 28x fewer lanes than the slab engine at the same speed);
-    # row gathers of 512-byte lines are the supported fast path.  One extra
-    # row absorbs the snap; masks handle both ragged ends.
-    g_row = 128
-    wq = (-(-w // g_row) + 1) * g_row  # whole rows covering W plus the snap
-    k_rows = wq // g_row
-    n_rows = n_pad // g_row if n_pad % g_row == 0 else -(-n_pad // g_row)
-    rows_pad = n_rows * g_row - n_pad
-    row_of = jnp.arange(k_rows, dtype=jnp.int32)
-
-    def as_rows(v, fill):
-        if rows_pad:
-            v = jnp.concatenate([v, jnp.full((rows_pad,), fill, v.dtype)])
-        return v.reshape(n_rows, g_row)
-
-    planes_r = tuple(as_rows(p, _FAR) for p in planes_s)
-    extras_r = tuple(as_rows(e, 0.0) for e in extras_s)
-
-    for g in range(len(bases)):
-        j_lo = j_lo_list[g]
-        j_hi = j_hi_list[g]
-        row0 = j_lo // g_row
-        rows_raw = row0[:, None] + row_of[None, :]
-        rows = jnp.minimum(rows_raw, n_rows - 1)
-        # (n_blocks, K, 128) -> (n_blocks, Wq) lane windows.
-        j_planes = tuple(p[rows].reshape(n_blocks, wq) for p in planes_r)
-        j_extras = tuple(e[rows].reshape(n_blocks, wq) for e in extras_r)
-        # Lane ids from the UNCLAMPED rows: a clamped duplicate row re-reads
-        # real beads, and ids past n_pad make the validity mask reject them
-        # (ids from the clamped rows would double-count the final rows).
-        sj = (rows_raw[:, :, None] * g_row
-              + jnp.arange(g_row, dtype=jnp.int32)).reshape(n_blocks, wq)
-        valid_j = (sj >= j_lo[:, None]) & (sj < j_hi[:, None])
+    for g in range(len(grid.column_bases)):
+        j_planes, j_extras, sj, valid_j = _window(grid, struct, g, n)
 
         dxs = [
             ip[:, :, None] - jp[:, None, :]
@@ -240,5 +279,202 @@ def block_pair_forces(grid: BlockGrid, positions, extras, coeff_fn,
     force_rows = jnp.stack(
         [f.reshape(n_pad) for f in forces], axis=-1
     )[:n]
-    out = out.at[order].set(force_rows, unique_indices=True)
-    return out, energy, overflow, max_width
+    out = out.at[struct.order].set(force_rows, unique_indices=True)
+    return out, energy, struct.overflow, struct.max_width
+
+
+def block_contact_events(grid: BlockGrid, positions, cutoff,
+                         events_capacity: int,
+                         struct: BlockStructure | None = None):
+    """All pairs within ``cutoff`` as a fixed-capacity event list, scatter-free.
+
+    A tick needs the (i, j) identity of every in-range pair.  Any
+    formulation that scatters from the full candidate-lane domain pays the
+    TPU's per-update scatter cost on N*9*Wq lanes — measured 2.4 s per tick
+    at 25k beads, 220x the pair force, with masks+cumsum at only 28 ms.
+    This extraction never scatters:
+
+    1. hit masks are computed per column exactly as the pair force does,
+       reduced to per-(row, column, 128-lane tile) counts, and stored as
+       bytes (one elementwise pass);
+    2. a hierarchical exclusive cumsum (per-row totals, then per-row tile
+       prefix) assigns every hit a dense event index;
+    3. each event index finds its row by one binary search over the per-row
+       offsets, its tile by comparing against the row's (9*K,) tile prefix
+       (one 128-byte-granular row gather), and its lane by a cumsum over
+       the tile's 128 stored mask bytes (another row gather) — all gathers
+       are row-granular, the fast TPU path.
+
+    Each unordered pair is emitted exactly once (sorted-index ownership
+    i < j; no per-row capacity exists to balance).  Returns ``(events
+    (E, 3) int32 [i, j, 1] in ORIGINAL bead ids with i = -1 padding,
+    n_events, width_overflow, max_width)``; ``n_events > events_capacity``
+    means truncation (the driver grows the capacity and reruns).
+    """
+    n = positions.shape[0]
+    b, n_blocks, n_pad, _, wq = _shape(grid, n)
+    if struct is None:
+        struct = build_structure(grid, positions)
+    cutoff2 = jnp.asarray(cutoff * cutoff, positions.dtype)
+    si, i_planes, _ = _i_tiles(grid, struct, n)
+    n_cols = len(grid.column_bases)
+    k_tiles = wq // _ROW
+
+    word_shift = jnp.arange(32, dtype=jnp.uint32)
+    take_cols = []
+    counts_cols = []
+    for g in range(n_cols):
+        j_planes, _, sj, valid_j = _window(grid, struct, g, n)
+        dxs = [
+            ip[:, :, None] - jp[:, None, :]
+            for ip, jp in zip(i_planes, j_planes)
+        ]
+        r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
+        take = (
+            valid_j[:, None, :]
+            & (si[:, :, None] < sj[:, None, :])
+            & (r2 < cutoff2)
+        )
+        take = take.reshape(n_pad, k_tiles, _ROW)
+        # Bit-pack 32 lanes per word: byte masks at production size are
+        # ~1.7 GB per tick and OOM'd the fused 100k chunk at compile.
+        packed = jnp.sum(
+            take.reshape(n_pad, k_tiles, 4, 32).astype(jnp.uint32)
+            << word_shift[None, None, None, :],
+            axis=-1,
+            dtype=jnp.uint32,
+        )
+        take_cols.append(packed)                       # (n_pad, K, 4) u32
+        counts_cols.append(jnp.sum(take, axis=-1, dtype=jnp.int32))
+
+    # (n_pad, n_cols*K) per-tile counts and packed masks.
+    tile_counts = jnp.concatenate(counts_cols, axis=1)
+    take_bits = jnp.concatenate(take_cols, axis=1)     # (n_pad, G*K, 4)
+
+    # Hierarchical event indexing.
+    tile_prefix = jnp.cumsum(tile_counts, axis=1)      # inclusive, per row
+    row_counts = tile_prefix[:, -1]
+    row_offsets = jnp.cumsum(row_counts)               # inclusive
+    n_events = row_offsets[-1].astype(jnp.int32)
+
+    e_cap = int(events_capacity)
+    e_ids = jnp.arange(e_cap, dtype=jnp.int32)
+    valid_e = e_ids < n_events
+
+    # Row: first row whose inclusive offset exceeds the event index.
+    row = jnp.searchsorted(row_offsets, e_ids, side="right").astype(jnp.int32)
+    row = jnp.minimum(row, n_pad - 1)
+    row_start = jnp.where(row > 0, row_offsets[row - 1], 0)
+    rank_in_row = e_ids - row_start.astype(jnp.int32)
+
+    # Tile within the row: compare against the row's tile prefix (row-gather
+    # of the (G*K,) prefix, then a lane-wise comparison count).
+    prefix_rows = tile_prefix[row]                     # (E, G*K)
+    tile = jnp.sum(
+        (prefix_rows <= rank_in_row[:, None]).astype(jnp.int32), axis=1
+    )
+    tile = jnp.minimum(tile, n_cols * k_tiles - 1)
+    tile_start = jnp.where(
+        tile > 0,
+        jnp.take_along_axis(
+            prefix_rows, jnp.maximum(tile - 1, 0)[:, None], axis=1
+        )[:, 0],
+        0,
+    )
+    rank_in_tile = rank_in_row - tile_start
+
+    # Lane within the tile: unpack the tile's 4 mask words, cumsum over the
+    # 128 bits.
+    flat_tile = row * (n_cols * k_tiles) + tile
+    words = take_bits.reshape(-1, 4)[flat_tile]        # (E, 4) u32
+    bits = (
+        (words[:, :, None] >> word_shift[None, None, :]) & jnp.uint32(1)
+    ).reshape(-1, _ROW).astype(jnp.int32)              # (E, 128)
+    lane_prefix = jnp.cumsum(bits, axis=1)
+    lane = jnp.argmax(
+        (lane_prefix == rank_in_tile[:, None] + 1) & (bits > 0), axis=1
+    ).astype(jnp.int32)
+
+    # Decode (column, tile) -> sorted j id via the column's window row base.
+    g_of = tile // k_tiles
+    t_of = tile % k_tiles
+    blk = row // b
+    row0 = (struct.j_lo // _ROW)[g_of, blk]            # (E,)
+    sj = (row0 + t_of) * _ROW + lane
+
+    # Sorted -> original ids.
+    i_ids = struct.order[jnp.minimum(row, n - 1)]
+    j_ids = struct.order[jnp.clip(sj, 0, n - 1)]
+    i_out = jnp.where(valid_e, i_ids, -1)
+    j_out = jnp.where(valid_e, j_ids, -1)
+    ones = jnp.where(valid_e, 1, 0).astype(jnp.int32)
+    events = jnp.stack([i_out, j_out, ones], axis=1)
+    return events, n_events, struct.overflow, struct.max_width
+
+
+def block_contact_rows(grid: BlockGrid, positions, cutoff, row_capacity: int,
+                       struct: BlockStructure | None = None):
+    """All pairs within ``cutoff`` as fixed-capacity owner rows.
+
+    The contact-tick analogue of :func:`contact.build_contact_list` on the
+    sorted-block structure: per column, hit lanes compact into per-row slots
+    with a running-fill prefix scan; each unordered pair lands on exactly one
+    owner row (parity of the sorted indices — the same load-balancing trick
+    as :func:`contact.owns_pair`, in sorted space).
+
+    Returns ``(ids (n_pad, cap) int32 ORIGINAL partner ids (-1 empty),
+    row_ids (n_pad,) original id per row (-1 on padding), row_overflow,
+    width_overflow, max_width)``.  Feed to
+    :func:`contact.compact_contact_events` with ``row_ids``.
+    """
+    n = positions.shape[0]
+    b, n_blocks, n_pad, _, wq = _shape(grid, n)
+    if struct is None:
+        struct = build_structure(grid, positions)
+    cutoff2 = jnp.asarray(cutoff * cutoff, positions.dtype)
+
+    si, i_planes, _ = _i_tiles(grid, struct, n)
+    cap = int(row_capacity)
+    ids = jnp.full((n_pad, cap), -1, jnp.int32)
+    fill = jnp.zeros((n_pad,), jnp.int32)
+    over = jnp.zeros((), jnp.int32)
+    row_idx = jnp.arange(n_pad, dtype=jnp.int32).reshape(n_blocks, b)
+
+    for g in range(len(grid.column_bases)):
+        j_planes, _, sj, valid_j = _window(grid, struct, g, n)
+        dxs = [
+            ip[:, :, None] - jp[:, None, :]
+            for ip, jp in zip(i_planes, j_planes)
+        ]
+        r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
+        sj3 = sj[:, None, :]
+        si3 = si[:, :, None]
+        lower = si3 < sj3
+        even = ((si3 + sj3) % 2) == 0
+        owns = jnp.where(even, lower, ~lower) & (si3 != sj3)
+        take = valid_j[:, None, :] & owns & (r2 < cutoff2)
+
+        prefix = jnp.cumsum(take.astype(jnp.int32), axis=-1)
+        slot = fill.reshape(n_blocks, b)[:, :, None] + prefix - 1
+        ok = take & (slot < cap)
+        rows3 = jnp.broadcast_to(row_idx[:, :, None], slot.shape)
+        # Every in-bounds (row, slot) target is written by exactly one lane
+        # (the prefix compaction guarantees it; rejected lanes aim at the
+        # out-of-bounds dump column and are dropped).  Declaring that lets
+        # XLA parallelize the scatter — without it the TPU serializes all
+        # ~N*9*Wq updates (measured 2.45 s per tick at 25k beads, 220x the
+        # pair force).
+        ids = ids.at[rows3, jnp.where(ok, slot, cap)].set(
+            jnp.broadcast_to(sj3, slot.shape), mode="drop",
+            unique_indices=True,
+        )
+        fill = fill + prefix[:, :, -1].reshape(n_pad)
+        over = over + jnp.sum(take & ~ok).astype(jnp.int32)
+
+    # Sorted partner ids -> original bead ids (small (n_pad, cap) gather).
+    safe = jnp.minimum(jnp.maximum(ids, 0), n - 1)
+    ids = jnp.where(ids >= 0, struct.order[safe], -1)
+    row_ids = jnp.concatenate(
+        [struct.order, jnp.full((n_pad - n,), -1, jnp.int32)]
+    ) if n_pad > n else struct.order
+    return ids, row_ids, over, struct.overflow, struct.max_width

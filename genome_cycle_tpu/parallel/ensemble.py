@@ -174,7 +174,7 @@ def run_ensemble_interphase(
             relax_chunk, _ = vm_bundle(relax=True)
             x2, rk2, s2, stats = relax_chunk(x, rkeys, semis)
             if int(np.max(np.asarray(stats[0]))) > 0:
-                engine.grow_cells()
+                engine.grow_cells(int(np.max(np.asarray(stats[1]))))
                 continue
             break
         x, rkeys, semis = x2, rk2, s2
@@ -252,14 +252,20 @@ def run_ensemble_interphase(
             x2, k2, s2, stats, events = inter_chunk(
                 x, keys_c, semis, jnp.asarray(start)
             )
+            watermark = int(np.max(np.asarray(stats.cell_fill)))
             if int(np.max(np.asarray(stats.cell_overflow))) > 0:
-                engine.grow_cells()
+                engine.grow_cells(watermark)
                 continue
             if int(np.max(np.asarray(stats.contact_overflow))) > 0:
                 engine.grow_contacts()
                 continue
             if int(np.max(np.asarray(stats.contact_cell_overflow))) > 0:
-                engine.grow_contact_cells(model)
+                if engine.block:
+                    # Block path: this channel is the tick's window-width
+                    # overflow — same knob as the pair engine.
+                    engine.grow_cells(watermark)
+                else:
+                    engine.grow_contact_cells(model)
                 continue
             if int(np.max(np.asarray(stats.event_overflow))) > 0:
                 engine.grow_events(model)

@@ -131,3 +131,147 @@ def test_uneven_block_padding(rng):
     f_ref, e_ref = pairwise_forces_dense(x, dc, du)
     np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), atol=2e-4)
     assert float(e) == pytest.approx(float(e_ref), rel=1e-5)
+
+
+def test_block_contact_rows_vs_kdtree(rng):
+    from scipy.spatial import cKDTree
+
+    from genome_cycle_tpu.ops.block_pairs import block_contact_rows
+    from genome_cycle_tpu.ops.contact import ContactList, compact_contact_events
+
+    n = 700
+    cutoff = 0.28
+    x_host = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
+    x = jnp.asarray(x_host)
+    grid = BlockGrid.cubic(bound=1.5, cell_size=0.3, width=512, block=128)
+    ids, row_ids, row_ov, width_ov, _ = block_contact_rows(grid, x, cutoff, 64)
+    assert int(row_ov) == 0 and int(width_ov) == 0
+
+    contact = ContactList(
+        ids=ids,
+        counts=(ids >= 0).astype(jnp.int32),
+        fill=jnp.sum(ids >= 0, axis=1).astype(jnp.int32),
+        overflow=row_ov,
+        ref_pos=jnp.zeros((ids.shape[0], 3), jnp.float32),
+        drift2=jnp.zeros((), jnp.float32),
+    )
+    events, n_events = compact_contact_events(contact, 8192, row_ids=row_ids)
+    ev = np.asarray(events)
+    ev = ev[ev[:, 0] >= 0]
+    got = {(min(a, b), max(a, b)) for a, b in ev[:, :2]}
+    assert len(got) == len(ev)  # each pair exactly once
+
+    tree = cKDTree(x_host)
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in tree.query_pairs(cutoff, output_type="ndarray")
+    }
+    assert got == want
+
+
+def test_interphase_segment_block_vs_gather(rng):
+    """The block-engine segment (block pair force + block tick) and the CPU
+    gather segment produce identical contact events — and stochastically
+    equivalent positions — from the same carry.  With the brute-force
+    threshold lowered the block engine also computes the pair force, so this
+    covers the full wired path (pair + tick + stats channels)."""
+    import json
+
+    import jax
+
+    from genome_cycle_tpu.config import parse_config
+    from genome_cycle_tpu.models.interphase import (
+        ChunkStats,
+        EngineSettings,
+        InterphaseModel,
+    )
+    from genome_cycle_tpu.ops.contact import events_to_host, merge_window
+    from genome_cycle_tpu.store import StageDesign
+    from genome_cycle_tpu.topology import ChainAssignment
+
+    n = 256
+    assigns = [ChainAssignment("chr1:a", 0, n)]
+    ab = np.zeros((n, 2))
+    ab[::2, 0] = 1.0
+    ab[1::2, 1] = 1.0
+    design = StageDesign(
+        seed=5, chains=assigns, ab_factors=ab,
+        nucleolar_bonds=np.zeros((0, 2), np.int64),
+    )
+    config = parse_config(json.dumps({}))
+
+    def run(use_block):
+        settings = EngineSettings(
+            cell_capacity=64, contact_capacity=64, grid_bound=4.0,
+            dense_bound=2.0, use_dense_grid=False, use_pallas=False,
+            use_block_pairs=use_block, block_width=512,
+            brute_force_threshold=0 if use_block else 16384,
+        )
+        model = InterphaseModel.from_design(design, config, settings)
+        assert (model.block_grid is not None) == use_block
+        rng2 = np.random.default_rng(77)
+        x0 = jnp.asarray(
+            np.cumsum(rng2.normal(0, 0.06, (n, 3)), axis=0), jnp.float32
+        )
+        carry = (
+            x0, jax.random.PRNGKey(9),
+            jnp.asarray([2.0, 2.0, 2.0], jnp.float32),
+            ChunkStats.zero(jnp.float32),
+        )
+        seg = jax.jit(model.interphase_segment(20))
+        carry, ev = seg(carry, jnp.asarray(0))
+        stats = carry[3]
+        assert int(stats.cell_overflow) == 0
+        assert int(stats.contact_overflow) == 0
+        assert int(stats.contact_cell_overflow) == 0
+        assert int(stats.event_overflow) <= 0
+        return np.asarray(carry[0]), merge_window([events_to_host(ev)])
+
+    p_b, ev_b = run(True)
+    p_g, ev_g = run(False)
+    # Same PRNG stream and same physics: positions agree to float tolerance
+    # (different reduction orders), events are identical sets.
+    np.testing.assert_allclose(p_b, p_g, atol=5e-4)
+    np.testing.assert_array_equal(ev_b, ev_g)
+    assert len(ev_b) > 0
+
+
+def test_block_contact_events_vs_kdtree(rng):
+    from scipy.spatial import cKDTree
+
+    from genome_cycle_tpu.ops.block_pairs import block_contact_events
+
+    n = 700
+    cutoff = 0.28
+    x_host = rng.uniform(-1.0, 1.0, size=(n, 3)).astype(np.float32)
+    x = jnp.asarray(x_host)
+    grid = BlockGrid.cubic(bound=1.5, cell_size=0.3, width=512, block=128)
+    events, n_events, width_ov, _ = block_contact_events(grid, x, cutoff, 8192)
+    assert int(width_ov) == 0
+    ev = np.asarray(events)
+    ev = ev[ev[:, 0] >= 0]
+    assert len(ev) == int(n_events)
+    got = {(min(a, b), max(a, b)) for a, b in ev[:, :2]}
+    assert len(got) == len(ev)  # each pair exactly once
+    assert (ev[:, 2] == 1).all()
+
+    tree = cKDTree(x_host)
+    want = {
+        (min(a, b), max(a, b))
+        for a, b in tree.query_pairs(cutoff, output_type="ndarray")
+    }
+    assert got == want
+
+
+def test_block_contact_events_capacity_truncation(rng):
+    from genome_cycle_tpu.ops.block_pairs import block_contact_events
+
+    n = 400
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, size=(n, 3)), jnp.float32)
+    grid = BlockGrid.cubic(bound=1.0, cell_size=0.3, width=1024, block=128)
+    _, n_full, _, _ = block_contact_events(grid, x, 0.3, 1 << 15)
+    assert int(n_full) > 64
+    events, n_events, _, _ = block_contact_events(grid, x, 0.3, 64)
+    assert int(n_events) == int(n_full)  # true count still reported
+    ev = np.asarray(events)
+    assert (ev[:, 0] >= 0).sum() == 64  # buffer filled to capacity

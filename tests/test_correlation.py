@@ -64,13 +64,18 @@ def run_jax_engine(x0, seed):
     from genome_cycle_tpu.models.interphase import ChunkStats, EngineSettings
     from genome_cycle_tpu.ops.contact import events_to_host, merge_window
 
+    # Run the SHIPPING TPU engine (sorted-block pair force + block contact
+    # tick) through the gate, not a test-only formulation: the brute-force
+    # threshold is lowered so the block path activates at this system size.
     # Generous static capacities: the walk-chain init is locally dense, and
     # any overflow is asserted zero below (an overflowed map is invalid).
     settings = EngineSettings(
         cell_capacity=64, contact_capacity=512, contact_margin=0.4,
         grid_bound=4.0, dense_bound=2.0, use_dense_grid=False,
+        use_block_pairs=True, block_width=1024, brute_force_threshold=0,
     )
     model = ge._make_model(n_beads=N, chains=CHAINS, settings=settings)
+    assert model.block_grid is not None
     assert model.n == N
     chunk = model.make_interphase_chunk(CHUNK)
 
@@ -88,8 +93,10 @@ def run_jax_engine(x0, seed):
     stats = carry[3]
     assert int(stats.cell_overflow) == 0
     assert int(stats.contact_overflow) == 0
+    assert int(stats.contact_cell_overflow) == 0
     assert int(stats.event_overflow) <= 0
-    # The per-segment margin assumption must hold for the map to be exact.
+    # The per-segment margin assumption must hold for the map to be exact
+    # (trivially 0 on the block path, which has no margin machinery).
     assert float(np.sqrt(stats.drift2)) <= 0.4 / 2
 
     coo = merge_window(window)
