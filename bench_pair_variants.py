@@ -5,11 +5,11 @@ step) for each engine formulation on the current default backend:
 
 - ``dense``:    gather-free dense cell slabs (ops/dense_grid.py) — the hot path
 - ``gather``:   cell-table gather fold (ops/neighbor.py) — readable reference
-- ``pairlist``: Verlet neighbor rows (ops/pairlist.py) — amortized build +
-                per-step re-measure over (N, K) id tables
 
-Decides the fate of ops/pairlist.py (VERDICT round 2, item 7): the verdict
-is written into BASELINE.md.  Run with the TPU free:
+(The Verlet-rows variant ops/pairlist.py was deleted in round 4: the
+sorted-block engine — bench_block_vs_slab.py — fills its design niche with
+measured wins, so the dead module went per VERDICT item 10.)  Run with the
+TPU free:
 
     python bench_pair_variants.py [n_beads]
 """
@@ -41,10 +41,6 @@ def main():
         CellGrid,
         build_cell_table,
         pairwise_forces_cell,
-    )
-    from genome_cycle_tpu.ops.pairlist import (
-        build_neighbor_rows,
-        pair_forces_rows_list,
     )
 
     radius = bench._ball_radius(n)
@@ -106,45 +102,14 @@ def main():
 
     results["gather"] = time_call(gather, x)
 
-    # pairlist: margin sized for a ~20-step lifetime (measured drift ~0.1 over
-    # 25 steps at this density — bench.py provenance), amortize build over 20.
-    margin = 0.12
-    lradius = cutoff + margin
-    lgrid = CellGrid.cubic(bound=bound, cell_size=lradius, capacity=4 * cap)
-    density = n / (4.0 / 3.0 * math.pi * radius**3)
-    k_est = density * 4.0 / 3.0 * math.pi * lradius**3
-    k_cap = bench._round_up(max(int(k_est * 3.0), 16), 8)
-
-    @jax.jit
-    def build_rows(x):
-        table, _, _ = build_cell_table(lgrid, x)
-        return build_neighbor_rows(lgrid, table, x, lradius, k_cap)
-
-    @jax.jit
-    def list_force(x, rows):
-        f, _ = pair_forces_rows_list(x, rows, coeff_ids, None)
-        return f
-
-    rows = build_rows(x)
-    jax.block_until_ready(rows.ids)
-    if int(rows.overflow) > 0:
-        print(f"pairlist overflow {int(rows.overflow)} at K={k_cap}",
-              file=sys.stderr)
-    t_build = time_call(build_rows, x)
-    t_force = time_call(list_force, x, rows)
-    results["pairlist"] = t_force + t_build / 20.0
-    results["pairlist_build"] = t_build
-    results["pairlist_force"] = t_force
-    results["pairlist_K"] = k_cap
 
     out = {
         "backend": jax.default_backend(),
         "n": n,
         "per_step_s": {k: v for k, v in results.items() if isinstance(v, float)},
         "bead_steps_per_s": {
-            k: n / results[k] for k in ("dense", "gather", "pairlist")
+            k: n / results[k] for k in ("dense", "gather")
         },
-        "pairlist_K": k_cap,
     }
     print(json.dumps(out))
 

@@ -275,7 +275,11 @@ class InterphaseModel:
         if use_block is None:
             use_block = jax.default_backend() == "tpu"
         block_grid = None
-        if use_block and n > settings.brute_force_threshold:
+        # Below the brute threshold the O(N^2) path computes the pair FORCE,
+        # but the contact tick still runs through the block grid: the legacy
+        # gather tick measured ~0.5 s at 6k beads on chip (the 46-chromosome
+        # 1 Mb/bead demo spent 95% of its G1 in it).
+        if use_block:
             # One grid serves the pair force AND the contact tick: the cell
             # covers both the interaction diameter and the largest contact
             # cutoff the schedule can reach (monotonic between
@@ -991,7 +995,9 @@ class _AdaptiveEngine:
         use_block = base.use_block_pairs
         if use_block is None:
             use_block = jax.default_backend() == "tpu"
-        self.block = use_block and not self.brute
+        # Width adaptivity applies whenever the block grid exists — brute
+        # systems still run their contact tick through it.
+        self.block = use_block
         self._cache: dict[tuple, dict] = {}
 
     def update_cell_scale(self, core_scale: float):
@@ -1186,25 +1192,25 @@ class _AdaptiveEngine:
         structure before the first chunk (each adaptive retry costs a
         compile + a slow chunk; spline-resampled structures can exceed any
         reasonable default)."""
-        if self.brute:
-            return
-        from ..ops.neighbor import CellGrid, build_cell_table
-
         icfg = self.config.interphase
         cell_size = max(icfg.a_core_diameter, icfg.b_core_diameter)
-        grid = CellGrid.cubic(
-            bound=self.settings.grid_bound, cell_size=cell_size, capacity=1
-        )
-        _, _, max_fill = jax.jit(
-            lambda x: build_cell_table(grid, x)
-        )(positions)
-        needed = int(2 ** np.ceil(np.log2(max(int(max_fill), 8))))
-        if needed > self.cell_capacity:
-            self.log(
-                f"engine: probed densest cell = {int(max_fill)} beads; "
-                f"cell capacity -> {needed}"
+        if not self.brute:
+            from ..ops.neighbor import CellGrid, build_cell_table
+
+            grid = CellGrid.cubic(
+                bound=self.settings.grid_bound, cell_size=cell_size,
+                capacity=1,
             )
-            self.cell_capacity = min(needed, self.MAX_CAPACITY)
+            _, _, max_fill = jax.jit(
+                lambda x: build_cell_table(grid, x)
+            )(positions)
+            needed = int(2 ** np.ceil(np.log2(max(int(max_fill), 8))))
+            if needed > self.cell_capacity:
+                self.log(
+                    f"engine: probed densest cell = {int(max_fill)} beads; "
+                    f"cell capacity -> {needed}"
+                )
+                self.cell_capacity = min(needed, self.MAX_CAPACITY)
         if self.block:
             # The window watermark is exact and independent of the width
             # setting — one cheap structure build sizes the engine.
@@ -1231,8 +1237,17 @@ def run_interphase(
     store: SimulationStore,
     settings: Optional[EngineSettings] = None,
     log=print,
+    n_shards: Optional[int] = None,
+    mesh=None,
 ):
-    """Full interphase stage: relaxation then G1, with reference cadences."""
+    """Full interphase stage: relaxation then G1, with reference cadences.
+
+    With ``n_shards`` (or an explicit ``mesh`` with a "beads" axis) the G1
+    phase runs spatially decomposed over devices through the halo-exchange
+    engine — same store output, same sampling/window/checkpoint semantics
+    (:func:`..parallel.halo.run_halo_g1`).  Relaxation stays single-device
+    (10k steps on the skewed post-telophase structure; not worth a mesh).
+    """
     config = store.load_config()
     design = store.load_interphase_design()
     engine = _AdaptiveEngine(design, config, settings, log)
@@ -1374,6 +1389,18 @@ def run_interphase(
         log(progress_line("interphase", 0, t=0.0, energy=ctx.mean_energy))
         spring = jnp.asarray(c.wall_semiaxes_spring, dtype)
         semiaxes = semiaxes + c.timestep * c.wall_mobility * (0.0 - spring * semiaxes)
+
+    if mesh is None and n_shards and n_shards > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(1, n_shards)
+    if mesh is not None:
+        from ..parallel.halo import run_halo_g1
+
+        return run_halo_g1(
+            store, engine, mesh, x, inter_key, semiaxes, resume_step,
+            save_frame, log,
+        )
 
     window_chunks = []
     state = (x, inter_key, semiaxes)

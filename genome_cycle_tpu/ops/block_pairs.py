@@ -123,8 +123,16 @@ def _shape(grid: BlockGrid, n: int):
     return b, n_blocks, n_pad, n_rows, wq
 
 
-def build_structure(grid: BlockGrid, positions, extras=()) -> BlockStructure:
-    """Sort beads by cell id and derive each block's 9 candidate windows."""
+def build_structure(grid: BlockGrid, positions, extras=(),
+                    valid=None) -> BlockStructure:
+    """Sort beads by cell id and derive each block's 9 candidate windows.
+
+    ``valid`` optionally masks rows out entirely (empty slots of a
+    fixed-capacity bead buffer, e.g. the halo engine's slab layout): masked
+    rows sort past every real cell, never enter any window, and never open
+    their own (without the mask, hundreds of FAR-padded slots clump into
+    the corner cell and inflate every window watermark that touches it).
+    """
     n = positions.shape[0]
     b, n_blocks, n_pad, n_rows, _ = _shape(grid, n)
     dtype = positions.dtype
@@ -135,6 +143,8 @@ def build_structure(grid: BlockGrid, positions, extras=()) -> BlockStructure:
     coords = jnp.clip(coords, 0, dims - 1)
     _, ny, nz = grid.dims
     cid = (coords[:, 0] * ny + coords[:, 1]) * nz + coords[:, 2]
+    if valid is not None:
+        cid = jnp.where(valid, cid, grid.num_cells)
 
     order = jnp.argsort(cid)
     cid_s = cid[order]
@@ -143,6 +153,8 @@ def build_structure(grid: BlockGrid, positions, extras=()) -> BlockStructure:
 
     def sort_rows(v, fill):
         v = v[order]
+        if valid is not None:
+            v = jnp.where(cid_s < grid.num_cells, v, fill)
         if rows_pad:
             v = jnp.concatenate([v, jnp.full((rows_pad,), fill, v.dtype)])
         return v.reshape(n_rows, _ROW)
@@ -155,16 +167,25 @@ def build_structure(grid: BlockGrid, positions, extras=()) -> BlockStructure:
     starts = jnp.searchsorted(cid_s, cell_ids, side="left").astype(jnp.int32)
 
     blk = jnp.arange(n_blocks, dtype=jnp.int32)
-    c_lo = cid_s[blk * b]
-    c_hi = cid_s[jnp.minimum(blk * b + b - 1, n - 1)]
+    if valid is None:
+        last_valid = n - 1
+    else:
+        # Masked rows all sort after every real one.
+        last_valid = jnp.sum(cid_s < grid.num_cells).astype(jnp.int32) - 1
+    c_lo = cid_s[jnp.clip(blk * b, 0, jnp.maximum(last_valid, 0))]
+    c_hi = cid_s[jnp.clip(blk * b + b - 1, 0, jnp.maximum(last_valid, 0))]
+    # Blocks that start past the last real row open no windows at all.
+    dead = blk * b > last_valid
 
     bases = grid.column_bases
     j_lo_list, j_hi_list = [], []
     for base in bases:
         lo_cell = jnp.clip(c_lo + base - 1, 0, grid.num_cells)
         hi_cell = jnp.clip(c_hi + base + 2, 0, grid.num_cells)  # exclusive
-        j_lo_list.append(starts[lo_cell])
-        j_hi_list.append(starts[hi_cell])
+        j_lo = starts[lo_cell]
+        j_hi = starts[hi_cell]
+        j_lo_list.append(j_lo)
+        j_hi_list.append(jnp.where(dead, j_lo, j_hi))
     for g in range(len(bases) - 1):
         # Ascending disjoint intervals: drop any overlap into the next column
         # (cell coverage of the union is unchanged).
@@ -335,9 +356,13 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
             & (si[:, :, None] < sj[:, None, :])
             & (r2 < cutoff2)
         )
-        take = take.reshape(n_pad, k_tiles, _ROW)
         # Bit-pack 32 lanes per word: byte masks at production size are
-        # ~1.7 GB per tick and OOM'd the fused 100k chunk at compile.
+        # ~1.7 GB per tick and OOM'd the fused 100k chunk at compile.  The
+        # packed words are the ONLY consumer of the big (N, Wq) elementwise
+        # chain — counts derive from popcount on the words — so XLA fuses
+        # the whole mask computation into this one reduction instead of
+        # materializing (N, K, 128) temporaries (which OOM'd the fused 25k
+        # chunk: ~20 live 208 MB buffers).
         packed = jnp.sum(
             take.reshape(n_pad, k_tiles, 4, 32).astype(jnp.uint32)
             << word_shift[None, None, None, :],
@@ -345,7 +370,11 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
             dtype=jnp.uint32,
         )
         take_cols.append(packed)                       # (n_pad, K, 4) u32
-        counts_cols.append(jnp.sum(take, axis=-1, dtype=jnp.int32))
+        counts_cols.append(
+            jnp.sum(
+                jax.lax.population_count(packed).astype(jnp.int32), axis=-1
+            )
+        )
 
     # (n_pad, n_cols*K) per-tile counts and packed masks.
     tile_counts = jnp.concatenate(counts_cols, axis=1)

@@ -275,3 +275,43 @@ def test_block_contact_events_capacity_truncation(rng):
     assert int(n_events) == int(n_full)  # true count still reported
     ev = np.asarray(events)
     assert (ev[:, 0] >= 0).sum() == 64  # buffer filled to capacity
+
+
+def test_valid_mask_matches_subset(rng):
+    """A FAR-padded fixed-capacity buffer (halo slab layout) with a validity
+    mask must produce the same forces as the packed subset alone — and must
+    not inflate the window watermark with the empty slots."""
+    from genome_cycle_tpu.ops.block_pairs import build_structure
+
+    n_real, n_buf = 300, 512
+    x_real = rng.uniform(-1.0, 1.0, size=(n_real, 3)).astype(np.float32)
+    x_buf = np.full((n_buf, 3), 1e15, np.float32)
+    x_buf[:n_real] = x_real
+    valid = np.zeros(n_buf, bool)
+    valid[:n_real] = True
+    af_b = jnp.asarray(np.where(valid, 1.0, 0.0), jnp.float32)
+    bf_b = jnp.zeros((n_buf,), jnp.float32)
+
+    grid = BlockGrid.cubic(bound=1.5, cell_size=0.3, width=384, block=64)
+    coeff, u = ab_fns(PARAMS)
+    struct = build_structure(
+        grid, jnp.asarray(x_buf), (af_b, bf_b), valid=jnp.asarray(valid)
+    )
+    f, e, ov, mw = block_pair_forces(
+        grid, jnp.asarray(x_buf), (af_b, bf_b), coeff, u, struct=struct
+    )
+    assert int(ov) == 0
+
+    af = jnp.ones((n_real,), jnp.float32)
+    bf = jnp.zeros((n_real,), jnp.float32)
+    f_ref, e_ref, ov_ref, mw_ref = block_pair_forces(
+        grid, jnp.asarray(x_real), (af, bf), coeff, u
+    )
+    assert int(ov_ref) == 0
+    np.testing.assert_allclose(
+        np.asarray(f[:n_real]), np.asarray(f_ref), atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(f[n_real:]), 0.0)
+    assert float(e) == pytest.approx(float(e_ref), rel=1e-5)
+    # Watermark must reflect the real structure, not the 212 empty slots.
+    assert int(mw) <= int(mw_ref) + 64

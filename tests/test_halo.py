@@ -135,3 +135,55 @@ def test_halo_replicas_diverge(rng):
     pos = gather_positions(model, carry)
     assert np.isfinite(pos).all()
     assert np.abs(pos[0] - pos[1]).max() > 1e-4
+
+
+def make_block_model(temperature=1.0, n=256, chains=2):
+    """Same system with the sorted-block engine forced on (the TPU hot
+    path): brute-force threshold lowered so block_grid activates."""
+    per = n // chains
+    assigns = [
+        ChainAssignment(f"chr{i}:a", i * per, (i + 1) * per) for i in range(chains)
+    ]
+    ab = np.zeros((n, 2))
+    ab[::2, 0] = 1.0
+    ab[1::2, 1] = 1.0
+    design = StageDesign(
+        seed=7,
+        chains=assigns,
+        ab_factors=ab,
+        nucleolar_bonds=np.zeros((0, 2), np.int64),
+    )
+    config = parse_config(json.dumps({"interphase": {"temperature": temperature}}))
+    settings = EngineSettings(
+        cell_capacity=64, contact_capacity=64, grid_bound=4.0,
+        dense_bound=2.0, use_dense_grid=False, use_pallas=False,
+        use_block_pairs=True, block_width=640, brute_force_threshold=0,
+    )
+    return InterphaseModel.from_design(design, config, settings)
+
+
+def test_halo_block_engine_matches_single_device(rng):
+    """The per-shard sorted-block pair engine (TPU hot path) through the
+    halo exchange must reproduce the single-device block engine: positions
+    to f32 summation tolerance at T=0, contact events exactly."""
+    model = make_block_model(temperature=0.0)
+    assert model.block_grid is not None
+    x0 = chain_positions(model.n)
+    carry, events, stats, _ = run_halo(model, 4, x0, 3, 20)
+    assert_clean(stats)
+    halo_pos = gather_positions(model, carry)[0]
+
+    segment = jax.jit(model.interphase_segment(20))
+    carry1 = (
+        jnp.asarray(x0, jnp.float32),
+        jax.random.PRNGKey(3),
+        jnp.asarray([2.0, 2.0, 2.0], jnp.float32),
+        ChunkStats.zero(jnp.float32),
+    )
+    carry1, events1 = segment(carry1, jnp.asarray(0))
+
+    np.testing.assert_allclose(halo_pos, np.asarray(carry1[0]), atol=5e-5)
+    halo_coo = merge_window([events_to_host(events)])
+    single_coo = merge_window([events_to_host(events1)])
+    np.testing.assert_array_equal(halo_coo, single_coo)
+    assert len(halo_coo) > 0
