@@ -234,7 +234,8 @@ def _measure_variant(n_beads: int, engine: str = "block"):
             "cell": int(stats.cell_overflow)
             + (int(stats.contact_cell_overflow) if use_block else 0),
             "contact": int(stats.contact_overflow),
-            "events": int(stats.event_overflow),
+            # Watermark channel: negative means under capacity.
+            "events": max(0, int(stats.event_overflow)),
         }
         if any(bad.values()):
             print(

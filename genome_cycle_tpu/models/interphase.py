@@ -914,7 +914,16 @@ class InterphaseModel:
         n_segments = chunk_steps // seg
         segment = self.interphase_segment(seg)
         if fuse is None:
-            fuse = jax.default_backend() not in ("cpu",)
+            # Fuse only moderate systems: a fused chunk stacks ~20
+            # sequential inner scans into one program, which the
+            # experimental TPU runtime has crashed on at large N (observed
+            # again at 60k beads in round 4), and its concurrent buffer
+            # liveness scales with n.  With the current tunnel's ~60 us
+            # dispatch round trip the host loop costs ~1 ms per chunk —
+            # noise against multi-second large-N chunks.
+            fuse = (
+                jax.default_backend() not in ("cpu",) and self.n <= 32768
+            )
 
         if fuse:
             @jax.jit
@@ -954,7 +963,12 @@ class ChunkStats(NamedTuple):
     @classmethod
     def zero(cls, dtype=jnp.float32) -> "ChunkStats":
         z = jnp.zeros((), jnp.int32)
-        return cls(z, z, z, jnp.zeros((), dtype), z, z)
+        # event_overflow carries the watermark as (n_events - capacity):
+        # start far below zero so an all-under-capacity chunk still reports
+        # its true maximum (capacity + event_overflow) for shrink decisions;
+        # > 0 still means overflow.
+        ev = jnp.full((), -(1 << 30), jnp.int32)
+        return cls(z, z, z, jnp.zeros((), dtype), ev, z)
 
 
 class _AdaptiveEngine:
@@ -1187,6 +1201,19 @@ class _AdaptiveEngine:
         self.events_capacity = cur * 2
         self.log(f"engine: growing event capacity to {self.events_capacity}")
 
+    def shrink_events_if_idle(self, model, event_overflow: int):
+        """The event watermark is capacity + event_overflow (the overflow
+        channel goes negative when under capacity).  The compact
+        post-relaxation structure can inflate the capacity several-fold
+        before G1 decompacts; shrink back so later chunks stop paying
+        E-sized extraction work for empty rows."""
+        cap = self.events_capacity or model.events_capacity
+        watermark = cap + event_overflow
+        want = max(4096, -(-int(watermark * 1.5) // 4096) * 4096)
+        if watermark > 0 and want <= cap // 2:
+            self.events_capacity = want
+            self.log(f"engine: shrinking event capacity to {want}")
+
     def probe_capacity(self, positions):
         """Size the cell capacity (and block window width) from the actual
         structure before the first chunk (each adaptive retry costs a
@@ -1380,11 +1407,30 @@ def run_interphase(
         # (reaction-free) update.
         semiaxes = semiaxes0
         core0, _ = model.scales(jnp.asarray(0.0))
-        contact = model.fresh_contact_list(x, float(core0))
-        contact = update_contact_counts(
-            contact, x, c.contactmap_distance * float(core0)
-        )
-        coo0 = merge_window([contact_list_to_host(contact)])
+        while True:
+            model = engine.bundle()["model"]
+            if model.block_grid is not None:
+                # Block tick for the step-0 dump: the legacy margin path's
+                # fold lanes scale with the skew-probed cell capacity and
+                # crashed the device at 60k beads.
+                ev, ne, _, width_ov = jax.jit(
+                    lambda q: model.contact_events_tick(q, jnp.asarray(0))
+                )(x)
+                if int(width_ov) > 0:
+                    engine.grow_cells(0)
+                    continue
+                if int(ne) > model.events_capacity:
+                    engine.grow_events(model)
+                    continue
+                coo0 = merge_window([events_to_host(np.asarray(ev))])
+            else:
+                contact = model.fresh_contact_list(x, float(core0))
+                contact = update_contact_counts(
+                    contact, x, c.contactmap_distance * float(core0)
+                )
+                coo0 = merge_window([contact_list_to_host(contact)])
+            break
+        bundle = engine.bundle()
         ctx = save_frame(bundle, 0, x, semiaxes, coo0)
         log(progress_line("interphase", 0, t=0.0, energy=ctx.mean_energy))
         spring = jnp.asarray(c.wall_semiaxes_spring, dtype)
@@ -1447,6 +1493,7 @@ def run_interphase(
         state = (x, k, semiaxes)
         max_fill = int(stats.cell_fill)
         engine.shrink_cells_if_idle(max_fill)
+        engine.shrink_events_if_idle(model, int(stats.event_overflow))
         engine.update_bound(float(np.abs(np.asarray(x)).max()))
         # Bucket must cover the cutoff through the END of the next chunk.
         core_next, _ = model.scales(jnp.asarray((start + 2 * sampling) * c.timestep))

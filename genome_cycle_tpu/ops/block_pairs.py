@@ -56,7 +56,13 @@ import jax.numpy as jnp
 import numpy as np
 
 _FAR = 1e15
-_ROW = 128  # j-side gather granularity (one lane tile)
+_ROW = 128   # j-side gather granularity (one lane tile)
+_SUB = 2048  # max pair-block lane width per fused compute chunk: the
+             # (n_blocks, B, Wq) elementwise temporaries scale with the
+             # window width, and the relaxation structure's density skew
+             # can push W past 7000 (probed on the 60k-bead hg38 spline
+             # structure) — unchunked that is multiple GB per live
+             # temporary and crashed the TPU worker.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -271,29 +277,37 @@ def block_pair_forces(grid: BlockGrid, positions, extras, coeff_fn,
     forces = [jnp.zeros((n_blocks, b), dtype) for _ in range(3)]
     energy = jnp.asarray(0.0, dtype)
 
+    _, _, _, _, wq = _shape(grid, n)
     for g in range(len(grid.column_bases)):
-        j_planes, j_extras, sj, valid_j = _window(grid, struct, g, n)
+        j_planes_f, j_extras_f, sj_f, valid_f = _window(grid, struct, g, n)
 
-        dxs = [
-            ip[:, :, None] - jp[:, None, :]
-            for ip, jp in zip(i_planes, j_planes)
-        ]
-        r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
-        # Self-pairs: same sorted position.
-        r2 = jnp.where(si[:, :, None] == sj[:, None, :], _FAR, r2)
+        for s0 in range(0, wq, _SUB):
+            sl = slice(s0, min(s0 + _SUB, wq))
+            j_planes = tuple(p[:, sl] for p in j_planes_f)
+            j_extras = tuple(e[:, sl] for e in j_extras_f)
+            sj = sj_f[:, sl]
+            valid_j = valid_f[:, sl]
 
-        e_i = tuple(ie[:, :, None] for ie in i_extras)
-        e_j = tuple(je[:, None, :] for je in j_extras)
-        c = coeff_fn(r2, e_i, e_j)
-        c = jnp.where(valid_j[:, None, :], c, 0.0)
-        for k in range(3):
-            forces[k] = forces[k] + jnp.sum(c * dxs[k], axis=-1)
+            dxs = [
+                ip[:, :, None] - jp[:, None, :]
+                for ip, jp in zip(i_planes, j_planes)
+            ]
+            r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
+            # Self-pairs: same sorted position.
+            r2 = jnp.where(si[:, :, None] == sj[:, None, :], _FAR, r2)
 
-        if energy_fn is not None:
-            u = energy_fn(r2, e_i, e_j)
-            u = jnp.where(valid_j[:, None, :], u, 0.0)
-            u = jnp.where(si[:, :, None] < n, u, 0.0)
-            energy = energy + 0.5 * jnp.sum(u)
+            e_i = tuple(ie[:, :, None] for ie in i_extras)
+            e_j = tuple(je[:, None, :] for je in j_extras)
+            c = coeff_fn(r2, e_i, e_j)
+            c = jnp.where(valid_j[:, None, :], c, 0.0)
+            for k in range(3):
+                forces[k] = forces[k] + jnp.sum(c * dxs[k], axis=-1)
+
+            if energy_fn is not None:
+                u = energy_fn(r2, e_i, e_j)
+                u = jnp.where(valid_j[:, None, :], u, 0.0)
+                u = jnp.where(si[:, :, None] < n, u, 0.0)
+                energy = energy + 0.5 * jnp.sum(u)
 
     # Sorted forces -> original bead order (inverse of the sort gather).
     out = jnp.zeros((n, 3), dtype)
@@ -342,33 +356,46 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
     k_tiles = wq // _ROW
 
     word_shift = jnp.arange(32, dtype=jnp.uint32)
+    sub_tiles = _SUB // _ROW
     take_cols = []
     counts_cols = []
     for g in range(n_cols):
-        j_planes, _, sj, valid_j = _window(grid, struct, g, n)
-        dxs = [
-            ip[:, :, None] - jp[:, None, :]
-            for ip, jp in zip(i_planes, j_planes)
-        ]
-        r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
-        take = (
-            valid_j[:, None, :]
-            & (si[:, :, None] < sj[:, None, :])
-            & (r2 < cutoff2)
-        )
-        # Bit-pack 32 lanes per word: byte masks at production size are
-        # ~1.7 GB per tick and OOM'd the fused 100k chunk at compile.  The
-        # packed words are the ONLY consumer of the big (N, Wq) elementwise
-        # chain — counts derive from popcount on the words — so XLA fuses
-        # the whole mask computation into this one reduction instead of
-        # materializing (N, K, 128) temporaries (which OOM'd the fused 25k
-        # chunk: ~20 live 208 MB buffers).
-        packed = jnp.sum(
-            take.reshape(n_pad, k_tiles, 4, 32).astype(jnp.uint32)
-            << word_shift[None, None, None, :],
-            axis=-1,
-            dtype=jnp.uint32,
-        )
+        j_planes_f, _, sj_f, valid_f = _window(grid, struct, g, n)
+        packed_chunks = []
+        # Lane-chunked like the force path: bounded temporaries at any
+        # window width (the relaxation structure's skew).
+        for t0 in range(0, k_tiles, sub_tiles):
+            t1 = min(t0 + sub_tiles, k_tiles)
+            sl = slice(t0 * _ROW, t1 * _ROW)
+            j_planes = tuple(p[:, sl] for p in j_planes_f)
+            sj = sj_f[:, sl]
+            valid_j = valid_f[:, sl]
+            dxs = [
+                ip[:, :, None] - jp[:, None, :]
+                for ip, jp in zip(i_planes, j_planes)
+            ]
+            r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
+            take = (
+                valid_j[:, None, :]
+                & (si[:, :, None] < sj[:, None, :])
+                & (r2 < cutoff2)
+            )
+            # Bit-pack 32 lanes per word: byte masks at production size are
+            # ~1.7 GB per tick and OOM'd the fused 100k chunk at compile.
+            # The packed words are the ONLY consumer of the big elementwise
+            # chain — counts derive from popcount on the words — so XLA
+            # fuses the whole mask computation into this one reduction
+            # instead of materializing (N, K, 128) temporaries (which
+            # OOM'd the fused 25k chunk: ~20 live 208 MB buffers).
+            packed_chunks.append(
+                jnp.sum(
+                    take.reshape(n_pad, t1 - t0, 4, 32).astype(jnp.uint32)
+                    << word_shift[None, None, None, :],
+                    axis=-1,
+                    dtype=jnp.uint32,
+                )
+            )
+        packed = jnp.concatenate(packed_chunks, axis=1)
         take_cols.append(packed)                       # (n_pad, K, 4) u32
         counts_cols.append(
             jnp.sum(
@@ -387,57 +414,74 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
     n_events = row_offsets[-1].astype(jnp.int32)
 
     e_cap = int(events_capacity)
-    e_ids = jnp.arange(e_cap, dtype=jnp.int32)
-    valid_e = e_ids < n_events
 
-    # Row: first row whose inclusive offset exceeds the event index.
-    row = jnp.searchsorted(row_offsets, e_ids, side="right").astype(jnp.int32)
-    row = jnp.minimum(row, n_pad - 1)
-    row_start = jnp.where(row > 0, row_offsets[row - 1], 0)
-    rank_in_row = e_ids - row_start.astype(jnp.int32)
+    def extract(e_ids):
+        """Locate a block of event indices; all temporaries are E-chunk
+        sized (an adaptive capacity in the millions would otherwise hold
+        ~10 E-sized temporaries per tick x 10 unrolled ticks — a 60k-bead
+        chunk compile demanded 58 GB of HBM before this bound)."""
+        valid_e = e_ids < n_events
+        # Row: first row whose inclusive offset exceeds the event index.
+        row = jnp.searchsorted(
+            row_offsets, e_ids, side="right"
+        ).astype(jnp.int32)
+        row = jnp.minimum(row, n_pad - 1)
+        row_start = jnp.where(row > 0, row_offsets[row - 1], 0)
+        rank_in_row = e_ids - row_start.astype(jnp.int32)
 
-    # Tile within the row: compare against the row's tile prefix (row-gather
-    # of the (G*K,) prefix, then a lane-wise comparison count).
-    prefix_rows = tile_prefix[row]                     # (E, G*K)
-    tile = jnp.sum(
-        (prefix_rows <= rank_in_row[:, None]).astype(jnp.int32), axis=1
-    )
-    tile = jnp.minimum(tile, n_cols * k_tiles - 1)
-    tile_start = jnp.where(
-        tile > 0,
-        jnp.take_along_axis(
-            prefix_rows, jnp.maximum(tile - 1, 0)[:, None], axis=1
-        )[:, 0],
-        0,
-    )
-    rank_in_tile = rank_in_row - tile_start
+        # Tile within the row: compare against the row's tile prefix
+        # (row-gather of the (G*K,) prefix, then a lane-wise count).
+        prefix_rows = tile_prefix[row]                 # (E, G*K)
+        tile = jnp.sum(
+            (prefix_rows <= rank_in_row[:, None]).astype(jnp.int32), axis=1
+        )
+        tile = jnp.minimum(tile, n_cols * k_tiles - 1)
+        tile_start = jnp.where(
+            tile > 0,
+            jnp.take_along_axis(
+                prefix_rows, jnp.maximum(tile - 1, 0)[:, None], axis=1
+            )[:, 0],
+            0,
+        )
+        rank_in_tile = rank_in_row - tile_start
 
-    # Lane within the tile: unpack the tile's 4 mask words, cumsum over the
-    # 128 bits.
-    flat_tile = row * (n_cols * k_tiles) + tile
-    words = take_bits.reshape(-1, 4)[flat_tile]        # (E, 4) u32
-    bits = (
-        (words[:, :, None] >> word_shift[None, None, :]) & jnp.uint32(1)
-    ).reshape(-1, _ROW).astype(jnp.int32)              # (E, 128)
-    lane_prefix = jnp.cumsum(bits, axis=1)
-    lane = jnp.argmax(
-        (lane_prefix == rank_in_tile[:, None] + 1) & (bits > 0), axis=1
-    ).astype(jnp.int32)
+        # Lane within the tile: unpack the tile's 4 mask words, cumsum over
+        # the 128 bits.
+        flat_tile = row * (n_cols * k_tiles) + tile
+        words = take_bits.reshape(-1, 4)[flat_tile]    # (E, 4) u32
+        bits = (
+            (words[:, :, None] >> word_shift[None, None, :]) & jnp.uint32(1)
+        ).reshape(-1, _ROW).astype(jnp.int32)          # (E, 128)
+        lane_prefix = jnp.cumsum(bits, axis=1)
+        lane = jnp.argmax(
+            (lane_prefix == rank_in_tile[:, None] + 1) & (bits > 0), axis=1
+        ).astype(jnp.int32)
 
-    # Decode (column, tile) -> sorted j id via the column's window row base.
-    g_of = tile // k_tiles
-    t_of = tile % k_tiles
-    blk = row // b
-    row0 = (struct.j_lo // _ROW)[g_of, blk]            # (E,)
-    sj = (row0 + t_of) * _ROW + lane
+        # Decode (column, tile) -> sorted j id via the window row base.
+        g_of = tile // k_tiles
+        t_of = tile % k_tiles
+        blk = row // b
+        row0 = (struct.j_lo // _ROW)[g_of, blk]        # (E,)
+        sj = (row0 + t_of) * _ROW + lane
 
-    # Sorted -> original ids.
-    i_ids = struct.order[jnp.minimum(row, n - 1)]
-    j_ids = struct.order[jnp.clip(sj, 0, n - 1)]
-    i_out = jnp.where(valid_e, i_ids, -1)
-    j_out = jnp.where(valid_e, j_ids, -1)
-    ones = jnp.where(valid_e, 1, 0).astype(jnp.int32)
-    events = jnp.stack([i_out, j_out, ones], axis=1)
+        # Sorted -> original ids.
+        i_ids = struct.order[jnp.minimum(row, n - 1)]
+        j_ids = struct.order[jnp.clip(sj, 0, n - 1)]
+        i_out = jnp.where(valid_e, i_ids, -1)
+        j_out = jnp.where(valid_e, j_ids, -1)
+        ones = jnp.where(valid_e, 1, 0).astype(jnp.int32)
+        return jnp.stack([i_out, j_out, ones], axis=1)
+
+    e_sub = 1 << 18
+    if e_cap <= e_sub:
+        events = extract(jnp.arange(e_cap, dtype=jnp.int32))
+    else:
+        n_chunks = -(-e_cap // e_sub)
+        chunks = jax.lax.map(
+            lambda c0: extract(c0 * e_sub + jnp.arange(e_sub, dtype=jnp.int32)),
+            jnp.arange(n_chunks, dtype=jnp.int32),
+        )
+        events = chunks.reshape(n_chunks * e_sub, 3)[:e_cap]
     return events, n_events, struct.overflow, struct.max_width
 
 

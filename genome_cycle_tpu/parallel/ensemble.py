@@ -217,12 +217,23 @@ def run_ensemble_interphase(
         # window, then a reaction-free wall update before step 1.
         _, model0 = vm_bundle()
         core0, _ = model0.scales(jnp.asarray(0.0))
-        for k, store in enumerate(stores):
-            contact0 = update_contact_counts(
-                model0.fresh_contact_list(positions[k], float(core0)),
-                positions[k],
-                c.contactmap_distance * float(core0),
+        if model0.block_grid is not None:
+            # Block tick for the step-0 dump (the margin fold's lanes scale
+            # with the skew-probed cell capacity; see run_interphase).
+            tick0 = jax.jit(
+                lambda q: model0.contact_events_tick(q, jnp.asarray(0))
             )
+        for k, store in enumerate(stores):
+            if model0.block_grid is not None:
+                ev0, _, _, _ = tick0(positions[k])
+                coo0 = merge_window([events_to_host(np.asarray(ev0))])
+            else:
+                contact0 = update_contact_counts(
+                    model0.fresh_contact_list(positions[k], float(core0)),
+                    positions[k],
+                    c.contactmap_distance * float(core0),
+                )
+                coo0 = merge_window([contact_list_to_host(contact0)])
             store.save_positions(0, np.asarray(positions[k]))
             store.save_interphase_context(
                 0,
@@ -235,7 +246,7 @@ def run_ensemble_interphase(
                     bond_scale=float(model0.scales(jnp.asarray(0.0))[1]),
                 ),
             )
-            store.save_contacts(0, merge_window([contact_list_to_host(contact0)]))
+            store.save_contacts(0, coo0)
             store.append_frame(0)
         spring = jnp.asarray(c.wall_semiaxes_spring, jnp.float32)
         semiaxes = semiaxes + c.timestep * c.wall_mobility * (
@@ -277,6 +288,9 @@ def run_ensemble_interphase(
             break
         x, keys_c, semis = x2, k2, s2
         engine.shrink_cells_if_idle(int(np.max(np.asarray(stats.cell_fill))))
+        engine.shrink_events_if_idle(
+            model, int(np.max(np.asarray(stats.event_overflow)))
+        )
         step = start + sampling
         core_next, _ = model.scales(jnp.asarray((start + 2 * sampling) * c.timestep))
         engine.update_cell_scale(float(core_next))
