@@ -1,8 +1,9 @@
 """Per-component timing of the interphase hot loop on the current backend.
 
-Pinpoints where a slow bench number goes: dispatch round-trip, dense pair
-force, contact-list build, contact tick, event compaction, one full segment,
-and the fused chunk.  Run with the TPU free:
+Pinpoints where a slow bench number goes: dispatch round-trip, block pair
+force, full force assembly, contact tick (structure build + scatter-free
+event extraction), one segment, and one host-loop chunk — all on the
+shipping sorted-block engine.  Run with the TPU free:
 
     python bench_diag.py [n_beads]
 """
@@ -38,12 +39,7 @@ def main():
 
     import __graft_entry__ as ge
     from genome_cycle_tpu.models.interphase import ChunkStats, EngineSettings
-    from genome_cycle_tpu.ops.contact import (
-        build_contact_list,
-        compact_contact_events,
-        update_contact_counts,
-    )
-    from genome_cycle_tpu.ops.neighbor import build_cell_table
+    from genome_cycle_tpu.ops.block_pairs import build_structure
 
     res = {"backend": jax.default_backend(), "n": n}
 
@@ -62,78 +58,65 @@ def main():
         grid_bound=plan["radius"] + 1.0,
         dense_bound=plan["dense_bound"],
         dense_cell_scale=plan["bucket"],
-        use_dense_grid=True,
+        use_block_pairs=True,
+        use_dense_grid=False,
         use_pallas=False,
     )
     model = ge._make_model(n_beads=n, chains=bench.CHAINS, settings=settings)
     x = jnp.asarray(bench._chain_walk(n, bench.CHAINS, plan["radius"])[: model.n])
+    if model.block_grid is not None:
+        mw = int(jax.jit(
+            lambda q: build_structure(model.block_grid, q).max_width
+        )(x))
+        import dataclasses
+
+        settings = dataclasses.replace(
+            settings,
+            block_width=max(bench._round_up(int(mw * 1.25), 128), 256),
+        )
+        model = ge._make_model(
+            n_beads=n, chains=bench.CHAINS, settings=settings
+        )
+        note(res, "block_width", model.block_grid.width)
     semi = jnp.full((3,), plan["radius"], jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    # 2. dense pair force alone
-    pair = jax.jit(lambda x: model.pair_forces_full(x, 0.5)[0])
+    # 2. structure build (sort + windows) alone
+    if model.block_grid is not None:
+        sb = jax.jit(
+            lambda q: build_structure(
+                model.block_grid, q, (model.af, model.bf)
+            ).max_width
+        )
+        note(res, "structure_build_s", t(sb, x))
+
+    # 3. pair force alone (includes build + scatter-back)
+    pair = jax.jit(lambda q: model.pair_forces_full(q, 0.5)[0])
     note(res, "pair_force_s", t(pair, x))
 
-    # 3. full force assembly (pair + bonded + wall)
-    asm = jax.jit(
-        lambda x, s: model._assemble_forces(x, 0.5, 0.5, s)[0]
-    )
+    # 4. full force assembly (pair + bonded + wall)
+    asm = jax.jit(lambda q, s: model._assemble_forces(q, 0.5, 0.5, s)[0])
     note(res, "assemble_s", t(asm, x, semi))
 
-    # 4. contact-list build (margin-free tick search cutoff, fine grid)
-    cutoff = model.config.contactmap_distance * 0.5
+    # 5. contact tick (fresh search + scatter-free event extraction)
+    tick = jax.jit(lambda q: model.contact_events_tick(q, jnp.asarray(20)))
+    note(res, "tick_s", t(tick, x, sync=lambda r: r[0]))
+    note(res, "events_capacity", model.events_capacity)
 
-    @jax.jit
-    def cbuild(x):
-        table, _, _ = build_cell_table(model.contact_grid, x)
-        ct = build_contact_list(
-            model.contact_grid, table, x, cutoff, settings.contact_capacity
-        )
-        return ct
-
-    note(res, "contact_build_s", t(cbuild, x, sync=lambda ct: ct.ids))
-    ct = cbuild(x)
-
-    # 5. contact tick
-    tick = jax.jit(
-        lambda ct, x: update_contact_counts(ct, x, model.config.contactmap_distance * 0.5)
-    )
-    note(res, "contact_tick_s", t(tick, ct, x, sync=lambda ct: ct.counts))
-
-    # 6. event compaction
-    comp = jax.jit(lambda ct: compact_contact_events(ct, model.events_capacity))
-    note(res, "compact_s", t(comp, ct, sync=lambda r: r[0]))
-
-    # 7. one segment (20 steps) and one fused chunk (200 steps)
+    # 6. one segment (20 steps incl. tick) and a host-loop chunk (200 steps)
     seg_fn = jax.jit(model.interphase_segment(20))
     carry0 = (x, key, semi, ChunkStats.zero(jnp.float32))
     note(res, "segment20_s", t(
         seg_fn, carry0, jnp.asarray(0), sync=lambda r: r[0][0]
     ))
-    note(res, "segment_bead_steps_per_s", n * 20 / res["segment20_s"])
+    note(res, "segment_bead_steps_per_s", model.n * 20 / res["segment20_s"])
 
-    # Host-loop chunk: isolates per-segment dispatch overhead.
     chunk_h = model.make_interphase_chunk(200, fuse=False)
     note(res, "hostloop_chunk200_s", t(
         chunk_h, carry0, jnp.asarray(0), reps=2, sync=lambda r: r[0][0]
     ))
-    print(json.dumps(res), flush=True)
-
-    # Fused chunk LAST: many sequential inner scans in one program have
-    # crashed the experimental TPU runtime; a crash must not lose the rest.
-    try:
-        chunk = model.make_interphase_chunk(200, fuse=True)
-        tc0 = time.perf_counter()
-        carry, _ = chunk(carry0, jnp.asarray(0))
-        jax.block_until_ready(carry[0])
-        res["fused_chunk200_compile_plus_run_s"] = time.perf_counter() - tc0
-        res["fused_chunk200_s"] = t(
-            chunk, carry0, jnp.asarray(0), reps=2, sync=lambda r: r[0][0]
-        )
-        res["fused_bead_steps_per_s"] = n * 200 / res["fused_chunk200_s"]
-    except Exception as ex:
-        res["fused_chunk_error"] = str(ex)[:200]
-
+    note(res, "hostloop_bead_steps_per_s",
+         model.n * 200 / res["hostloop_chunk200_s"])
     print(json.dumps(res), flush=True)
 
 
