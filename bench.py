@@ -21,11 +21,11 @@ and two rounds of driver benches timed out exactly this way.  The walk is
 density-stationary from step 0, so the capacity probed from the initial
 structure holds for the whole measurement.
 
-Banking strategy (escalation ladder): a small dense-XLA config runs first
-and banks a valid number quickly; the production 100k config upgrades it;
-the experimental Pallas kernel runs LAST in a crash-isolated subprocess so
-a TPU-worker crash (observed in round 2) can never sink already-banked
-results.  Any banked number makes the bench exit 0.
+Banking strategy (escalation ladder): a small config runs first and banks a
+valid number quickly; the production 100k config (the PRIMARY metric) runs
+last, so its record is also the final printed line once it lands.  Every
+variant runs in a crash-isolated subprocess (a TPU-worker crash can never
+sink already-banked results), and any banked number makes the bench exit 0.
 """
 
 import json
@@ -192,8 +192,8 @@ def _measure_variant(n_beads: int, engine: str = "block"):
     x_host = _chain_walk(n_beads, CHAINS, plan["radius"])
 
     if use_block:
-        # Exact window watermark from the initial structure (one tiny jit);
-        # the in-run retry loop handles drift growth.
+        # Exact window watermark + slot need from the initial structure (one
+        # tiny jit); the in-run retry loop handles drift growth.
         from genome_cycle_tpu.ops.block_pairs import (
             BlockGrid, build_structure,
         )
@@ -201,11 +201,17 @@ def _measure_variant(n_beads: int, engine: str = "block"):
         bgrid = BlockGrid.cubic(
             bound=plan["dense_bound"], cell_size=0.3, width=128
         )
-        mw = int(jax.jit(
-            lambda x: build_structure(bgrid, x).max_width
-        )(jnp.asarray(x_host)))
+        def _probe(x):
+            s = build_structure(bgrid, x)
+            return s.max_width, s.slot_need
+
+        mw, slot_need = (
+            int(v) for v in jax.jit(_probe)(jnp.asarray(x_host))
+        )
         settings = __import__("dataclasses").replace(
-            settings, block_width=max(_round_up(int(mw * 1.25), 128), 256)
+            settings,
+            block_width=max(_round_up(int(mw * 1.25), 128), 256),
+            block_slots=_round_up(int(slot_need * 1.15), 128),
         )
 
     model = ge._make_model(n_beads=n_beads, chains=CHAINS, settings=settings)
@@ -246,14 +252,24 @@ def _measure_variant(n_beads: int, engine: str = "block"):
             import dataclasses
 
             if use_block and bad["cell"]:
-                wm = int(stats.cell_fill)
-                settings = dataclasses.replace(
-                    settings,
-                    block_width=max(
-                        _round_up(int(wm * 1.25), 128),
-                        settings.block_width + 128,
-                    ),
-                )
+                from genome_cycle_tpu.ops.block_pairs import SLOT_OVERFLOW
+
+                if bad["cell"] & SLOT_OVERFLOW:
+                    settings = dataclasses.replace(
+                        settings,
+                        block_slots=_round_up(
+                            settings.block_slots * 3 // 2, 128
+                        ),
+                    )
+                else:
+                    wm = int(stats.cell_fill)
+                    settings = dataclasses.replace(
+                        settings,
+                        block_width=max(
+                            _round_up(int(wm * 1.25), 128),
+                            settings.block_width + 128,
+                        ),
+                    )
             settings = dataclasses.replace(
                 settings,
                 cell_capacity=settings.cell_capacity
@@ -277,11 +293,12 @@ def _measure_variant(n_beads: int, engine: str = "block"):
 
         steps_per_s = BENCH_STEPS / dt
         if model.block_grid is not None:
+            from genome_cycle_tpu.ops.block_pairs import _shape
+
             bg = model.block_grid
-            n_blocks = -(-model.n // bg.block)
-            wq = (-(-bg.width // 128) + 1) * 128
+            _, n_blocks, n_slots, _, wq = _shape(bg, model.n)
             lanes_per_step = n_blocks * bg.block * 9.0 * wq
-            shape_note = {"block_width": bg.width}
+            shape_note = {"block_width": bg.width, "block_slots": n_slots}
         else:
             grid = model.dense_grid
             lanes_per_step = grid.num_cells * 27.0 * grid.capacity**2
@@ -355,24 +372,28 @@ def _result_line(res, baseline):
     )
 
 
+PRIMARY_N = 100_000  # BASELINE.md: the primary metric is the 100k config
+
+
 def measure_tpu(deadline):
     """Run the escalation ladder; bank + PRINT every result as it lands.
 
     Every variant runs in its own subprocess with a hard timeout: a compile
     hang or worker crash costs that variant only.  Ordering puts reliability
-    first (small dense config), peak-throughput upgrades after, and the
-    crash-prone experimental kernel last.  Each success immediately prints a
-    complete driver-format JSON line to stdout (round 3 lost its only
-    measured number by holding the JSON for main(): the driver's rc=124
-    discarded an already-banked 25k result).  The last line printed is the
-    best result seen; a timeout or crash later can no longer lose it.
+    first (the small config banks a valid number quickly); the production
+    100k config is the PRIMARY metric (BASELINE.md) and is the last entry,
+    so once it lands it is also the final printed line — the driver records
+    the last JSON line, and round 4 mis-banked the 25k record by printing
+    the global best instead of the primary.  Each success immediately
+    prints a complete driver-format JSON line to stdout, so a timeout or
+    crash later can no longer lose a banked result.
     """
     ladder = [
         ("block-25k", 25_000, "block", 1200),
         ("block-100k", 100_000, "block", 1200),
-        ("pallas-100k", 100_000, "pallas", 900),
     ]
     best = None
+    primary = None
     for name, n_beads, engine, timeout in ladder:
         remaining = deadline - time.perf_counter()
         if remaining < 180:
@@ -407,9 +428,13 @@ def measure_tpu(deadline):
                     )
                     if best is None or res["bead_steps"] > best["bead_steps"]:
                         best = res
-                    # Bank NOW: print the best-so-far driver line.
-                    baseline = measure_baseline(best["n"])
-                    print(_result_line(best, baseline), flush=True)
+                    if n_beads >= PRIMARY_N:
+                        primary = res
+                    # Bank NOW: the primary record once it exists, else the
+                    # best seen so far.
+                    banked = primary or best
+                    baseline = measure_baseline(banked["n"])
+                    print(_result_line(banked, baseline), flush=True)
                     break
             else:
                 print(f"variant {name} failed:\n{out.stderr[-2000:]}",
@@ -418,7 +443,7 @@ def measure_tpu(deadline):
             print(f"variant {name} timed out", file=sys.stderr)
     if best is None:
         raise RuntimeError("all engine variants failed")
-    return best
+    return primary or best
 
 
 def measure_baseline(n_beads: int):
@@ -454,10 +479,12 @@ def measure_baseline(n_beads: int):
 
 def main():
     # Total wall-time budget: the driver's own timeout has killed the bench
-    # twice; everything must land inside this envelope (BENCH_BUDGET_S to
-    # override).  Intermediate results are printed as they bank, so even an
-    # external kill keeps whatever finished.
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+    # in earlier rounds (its envelope is tighter than 2100 s) — default well
+    # under it (BENCH_BUDGET_S to override).  Intermediate results are
+    # printed as they bank, so even an external kill keeps whatever
+    # finished; a normal finish exits 0 with the 100k primary as the final
+    # line.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     deadline = time.perf_counter() + budget
     # Baselines first: C++ single-thread runs are cheap and cached, and the
     # banked-result lines need them.  Bead counts floor to whole chains so

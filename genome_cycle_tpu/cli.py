@@ -119,8 +119,10 @@ def main(argv=None):
         default=None,
         metavar="N",
         help="spatially decompose the G1 phase over N devices (x-slab "
-        "ownership + halo exchange over the device mesh); same trajectory "
-        "output as the single-device run",
+        "ownership + halo exchange over the device mesh); same output "
+        "schema/semantics as the single-device run — trajectories are "
+        "reproducible across shard counts (per-bead noise), not bitwise "
+        "identical to the unsharded run",
     )
     _add_store_cmd(sub, "prometaphase", "run prometaphase/metaphase")
 

@@ -40,6 +40,7 @@ from ..ops.contact import (
 )
 from ..ops.integrator import BDParams, bd_update
 from ..ops.block_pairs import (
+    SLOT_OVERFLOW,
     BlockGrid,
     block_contact_events,
     block_pair_forces,
@@ -112,12 +113,18 @@ class EngineSettings:
     # Per-column candidate-window capacity of the block engine; the adaptive
     # driver grows/shrinks it from the reported watermark.
     block_width: int = 1024
+    # Static slot capacity of the block engine's column-aligned layout
+    # (0 = auto worst case; the adaptive driver probes a tight value from
+    # the structure and grows it on SLOT_OVERFLOW).
+    block_slots: int = 0
     # Dense-slab pair engine (gather-free; the previous TPU path, kept for
     # comparison and as a fallback).  The gather fold remains as the
     # readable reference implementation and for tests.
     use_dense_grid: bool = True
     dense_bound: float = 4.0
-    # Fused Pallas kernel for the pair force (None = auto: on for TPU).
+    # Fused Pallas kernel for the pair force.  Opt-in only: None/False
+    # disable it (the sorted-block engine beats any slab-layout formulation
+    # on this workload — see BASELINE.md); set True to force the kernel.
     use_pallas: Optional[bool] = None
     # Below this particle count the O(N^2) dense pairwise path is used for
     # the pair force: on TPU, ~25M fully dense pair lanes beat any cell-list
@@ -292,6 +299,7 @@ class InterphaseModel:
                 bound=settings.dense_bound,
                 cell_size=block_cell,
                 width=settings.block_width,
+                slots=settings.block_slots,
             )
 
         f = jnp.float32 if settings.dtype == "float32" else jnp.float64
@@ -1003,6 +1011,7 @@ class _AdaptiveEngine:
         self.dense_bound = base.dense_bound
         self.dense_cell_scale = base.dense_cell_scale
         self.block_width = base.block_width
+        self.block_slots = base.block_slots
         # Brute-force systems ignore the cell grids entirely: freeze every
         # grid adaptation (each change would recompile for nothing).
         self.brute = design.particle_count <= base.brute_force_threshold
@@ -1077,7 +1086,8 @@ class _AdaptiveEngine:
             self.cell_capacity, self.contact_capacity, self.contact_margin,
             self.rebuild_interval, self.events_capacity, self.dense_bound,
             self.dense_cell_scale, self.contact_cell_capacity,
-            self.contact_cell_scale, self.block_width, relax,
+            self.contact_cell_scale, self.block_width, self.block_slots,
+            relax,
         )
         if key not in self._cache:
             settings = dataclasses.replace(
@@ -1092,6 +1102,7 @@ class _AdaptiveEngine:
                 dense_bound=self.dense_bound,
                 dense_cell_scale=self.dense_cell_scale,
                 block_width=self.block_width,
+                block_slots=self.block_slots,
                 use_block_pairs=self.block,
                 # The block engine handles the relaxation structure's density
                 # skew with linear width growth; the slab engine cannot.
@@ -1122,16 +1133,47 @@ class _AdaptiveEngine:
         slab engine's doubling left the round-3 bench at 2x the needed
         capacity — 4x wasted lanes)."""
         if self.block:
-            need = int(np.ceil(max(watermark * 1.25, self.block_width + 128)))
-            self.block_width = min(-(-need // 128) * 128, self.MAX_WIDTH)
-            if self.block_width >= self.MAX_WIDTH:
+            if watermark > 0:
+                need = int(np.ceil(max(watermark * 1.25,
+                                       self.block_width + 128)))
+            else:
+                # No watermark available (halo adjust, step-0 dump): double
+                # instead of creeping 128 lanes per recompile.
+                need = self.block_width * 2
+            new = min(-(-need // 128) * 128, self.MAX_WIDTH)
+            if new == self.block_width:
+                # Only fail when the previous width was already at the limit
+                # and overflow persists; a watermark that needs exactly
+                # MAX_WIDTH still gets to run at it.
                 raise RuntimeError("block window width limit exceeded")
+            self.block_width = new
             self.log(f"engine: growing block width to {self.block_width}")
             return
         if self.cell_capacity >= self.MAX_CAPACITY:
             raise RuntimeError("cell capacity limit exceeded")
         self.cell_capacity *= 2
         self.log(f"engine: growing cell capacity to {self.cell_capacity}")
+
+    def grow_block_slots(self):
+        """Column-padded layout outgrew its static slot buffer: grow 1.5x
+        (0 = auto worst case never overflows but costs dead-block lanes, so
+        probed drivers stay tight and grow on the SLOT_OVERFLOW flag)."""
+        if self.block_slots <= 0:
+            raise RuntimeError(
+                "slot overflow with auto (worst-case) capacity — impossible "
+                "unless the grid geometry itself is inconsistent"
+            )
+        self.block_slots = -(-(self.block_slots * 3 // 2) // 128) * 128
+        self.log(f"engine: growing block slots to {self.block_slots}")
+
+    def handle_pair_overflow(self, overflow: int, watermark: int):
+        """Dispatch a pair-engine overflow to the right knob: the block
+        engine flags slot-capacity exhaustion with SLOT_OVERFLOW (grow the
+        layout), anything else is window-width/cell-capacity overflow."""
+        if self.block and (overflow & SLOT_OVERFLOW):
+            self.grow_block_slots()
+        else:
+            self.grow_cells(watermark)
 
     def shrink_cells_if_idle(self, max_fill: int):
         if self.brute:
@@ -1239,18 +1281,19 @@ class _AdaptiveEngine:
                 )
                 self.cell_capacity = min(needed, self.MAX_CAPACITY)
         if self.block:
-            # The window watermark is exact and independent of the width
-            # setting — one cheap structure build sizes the engine.
+            # The window watermark and slot need are exact and independent
+            # of the width setting — one cheap structure build sizes the
+            # engine.
             max_core = max(1.0, icfg.core_scale_init)
             block_cell = max(cell_size, icfg.contactmap_distance * max_core)
             bgrid = BlockGrid.cubic(
                 bound=self.dense_bound, cell_size=block_cell, width=128
             )
-            mw = int(
-                jax.jit(lambda x: build_structure(bgrid, x).max_width)(
-                    positions
-                )
-            )
+            def _probe(x):
+                s = build_structure(bgrid, x)
+                return s.max_width, s.slot_need
+
+            mw, need = (int(v) for v in jax.jit(_probe)(positions))
             want = max(-(-int(mw * 1.25) // 128) * 128, 256)
             if want != self.block_width:
                 self.log(
@@ -1258,6 +1301,17 @@ class _AdaptiveEngine:
                     f"block width -> {want}"
                 )
                 self.block_width = min(want, self.MAX_WIDTH)
+            # Tight slot capacity: every slot costs 9*Wq candidate lanes, so
+            # the auto worst case (n + columns*(B-1)) would waste the lane
+            # win; 15% headroom over the probed need absorbs drift between
+            # probes, SLOT_OVERFLOW retries cover the rest.
+            slots = -(-int(need * 1.15) // 128) * 128
+            if slots != self.block_slots:
+                self.log(
+                    f"engine: probed slot need = {need}; "
+                    f"block slots -> {slots}"
+                )
+                self.block_slots = slots
 
 
 def run_interphase(
@@ -1330,7 +1384,7 @@ def run_interphase(
             carry = bundle["relax_chunk"]((*state, zero_stats()))
             overflow, max_fill = (int(v) for v in carry[3])
             if overflow > 0:
-                engine.grow_cells(max_fill)
+                engine.handle_pair_overflow(overflow, max_fill)
                 continue
             break
         state = carry[:3]
@@ -1417,7 +1471,7 @@ def run_interphase(
                     lambda q: model.contact_events_tick(q, jnp.asarray(0))
                 )(x)
                 if int(width_ov) > 0:
-                    engine.grow_cells(0)
+                    engine.handle_pair_overflow(int(width_ov), 0)
                     continue
                 if int(ne) > model.events_capacity:
                     engine.grow_events(model)
@@ -1464,7 +1518,9 @@ def run_interphase(
             )
             x, k, semiaxes, stats = carry
             if int(stats.cell_overflow) > 0:
-                engine.grow_cells(int(stats.cell_fill))
+                engine.handle_pair_overflow(
+                    int(stats.cell_overflow), int(stats.cell_fill)
+                )
                 continue
             if int(stats.contact_overflow) > 0:
                 engine.grow_contacts()
@@ -1478,8 +1534,11 @@ def run_interphase(
             if int(stats.contact_cell_overflow) > 0:
                 if engine.block:
                     # On the block path this channel is the tick's window
-                    # width overflow — same knob as the pair engine.
-                    engine.grow_cells(int(stats.cell_fill))
+                    # width / slot overflow — same knobs as the pair engine.
+                    engine.handle_pair_overflow(
+                        int(stats.contact_cell_overflow),
+                        int(stats.cell_fill),
+                    )
                 else:
                     engine.grow_contact_cells(model)
                 continue

@@ -9,14 +9,22 @@ candidates).  This module reformulates the same computation with lanes
 
 1. beads are sorted by flat cell id (one argsort per call — the slab engine
    already paid this);
-2. the sorted order is cut into fixed blocks of ``B`` consecutive beads
-   (B = 128: one full TPU lane tile per i-row);
-3. for a block spanning sorted cells [c_lo, c_hi] and each of the 9 stencil
-   columns g = (dx, dy), the candidate partners — all beads in cells
-   [c_lo + base_g - 1, c_hi + base_g + 1] (the dz in {-1,0,1} span merges
-   into one id interval) — occupy ONE CONTIGUOUS SLICE of the sorted bead
-   arrays, because cell id -> sorted position is monotone.  Each block
-   therefore reads 9 dynamic windows, not 27 capacity-padded cell blocks;
+2. the sorted order is laid out COLUMN-ALIGNED: each (x, y) cell column's
+   bead run is padded up to a multiple of the block size ``B``, so every
+   block of ``B`` consecutive slots lies within exactly ONE cell column.
+   (Round 4 cut blocks straight through the sorted order; a block
+   straddling a column boundary needed a candidate window spanning the
+   two columns' ENTIRE bead runs, and that global max set the window
+   capacity for every block — the banked lane count was ~116x the
+   physical neighbourhood.  Column alignment caps every block's cell span
+   at ~B/cell_fill cells, for a few percent of padded slots.);
+3. for a block spanning cells [c_lo, c_hi] of its column and each of the 9
+   stencil columns g = (dx, dy), the candidate partners — all beads in
+   cells [c_lo + base_g - 1, c_hi + base_g + 1] (the dz in {-1,0,1} span
+   merges into one id interval) — occupy ONE CONTIGUOUS SLICE of the
+   column-aligned slot arrays, because cell id -> slot position is
+   monotone.  Each block therefore reads 9 dynamic windows, not 27
+   capacity-padded cell blocks;
 4. j-side channels are fetched as whole 128-lane rows (slice starts snapped
    down to a row boundary): per-element gathers cost ~30x their bytes on
    TPU — the element-gather variant of this engine ran 28x fewer lanes than
@@ -25,21 +33,24 @@ candidates).  This module reformulates the same computation with lanes
    VPU work — then reduces over the window axis and scatters back through
    the sort permutation.
 
-Total lanes = N * 9 * Wq.  Density skew widens the window *linearly* (a hot
-cell stretches only the slices containing it), the empty-cube overhead of
-the slab layout disappears (empty cells occupy no sorted positions), and the
-largest temporary is a (N/B, B, Wq) tile block — no multi-GB resident set
-at 100k beads (the slab engine's 27 unrolled offsets crashed the device
-there).  Measured on v5e (bench_block_vs_slab.py, full call including sort
-and scatter-back): 10.7 ms vs 57.6 ms at 25k beads, 27 ms vs 531 ms at
-100k, force agreement 2e-7 relative.
+Total lanes = slots * 9 * Wq with slots = N + per-column padding.  Density
+skew widens the window *linearly* (a hot cell stretches only the slices
+containing it), the empty-cube overhead of the slab layout disappears
+(empty columns occupy no slots), and the largest temporary is a
+(slots/B, B, Wq) tile block — no multi-GB resident set at 100k beads (the
+slab engine's 27 unrolled offsets crashed the device there).
 
-Stencil-column intervals of one block can overlap when the block spans
-nearly a whole z-column of cells (sparse regions, small grids); overlapping
-cells would double-count pairs.  The columns are processed in ascending
-static base order and each interval's end is clipped to the next interval's
-start — the union is unchanged, so every candidate cell is covered exactly
-once (`test_block_pairs.py` covers degenerate grids).
+Stencil-column intervals of one block can overlap when the grid is tiny
+(windows clipped across column edges); overlapping cells would
+double-count pairs.  The columns are processed in ascending static base
+order and each interval's end is clipped to the next interval's start —
+the union is unchanged, so every candidate cell is covered exactly once
+(`test_block_pairs.py` covers degenerate grids).
+
+Slot-capacity overflow (the padded layout outgrowing the static ``slots``
+buffer) is flagged with :data:`SLOT_OVERFLOW` in the overflow channel —
+beads beyond capacity would be silently absent from every window, so the
+driver must grow the slot buffer and retry, exactly like width overflow.
 
 Correctness contract matches :func:`neighbor.pairwise_forces_cell`: beads
 outside the grid clamp to boundary cells (true coordinates still used),
@@ -49,6 +60,7 @@ window-width overflow is counted and surfaced, never silently dropped.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import NamedTuple
 
 import jax
@@ -64,6 +76,13 @@ _SUB = 2048  # max pair-block lane width per fused compute chunk: the
              # structure) — unchunked that is multiple GB per live
              # temporary and crashed the TPU worker.
 
+# Overflow-channel flag: the column-padded layout needs more slots than the
+# grid's static capacity — some beads were dropped from the layout entirely.
+# Kept separate from the width count (low bits) so drivers grow the right
+# knob.
+SLOT_OVERFLOW = 1 << 28
+_WIDTH_OV_MAX = (1 << 27) - 1
+
 
 @dataclasses.dataclass(frozen=True)
 class BlockGrid:
@@ -71,18 +90,23 @@ class BlockGrid:
 
     ``width`` is the per-column candidate-window capacity W; the engine
     reports the widest window actually needed so drivers can retry a grown
-    width exactly like cell-capacity overflow.
+    width exactly like cell-capacity overflow.  ``slots`` is the static
+    capacity of the column-aligned padded layout (0 = auto: the worst case
+    ``n + min(columns, n) * (block - 1)`` — always sufficient, but drivers
+    that know the structure should pass a tight probed value, since every
+    slot costs ``9 * Wq`` candidate lanes).
     """
 
     lower: tuple[float, float, float]
     cell_size: float
     dims: tuple[int, int, int]
     width: int
-    block: int = 128
+    block: int = 32
+    slots: int = 0
 
     @classmethod
     def cubic(cls, bound: float, cell_size: float, width: int,
-              block: int = 128) -> "BlockGrid":
+              block: int = 32, slots: int = 0) -> "BlockGrid":
         n = max(int(np.ceil(2.0 * bound / cell_size)), 1)
         return cls(
             lower=(-bound, -bound, -bound),
@@ -90,12 +114,18 @@ class BlockGrid:
             dims=(n, n, n),
             width=int(width),
             block=int(block),
+            slots=int(slots),
         )
 
     @property
     def num_cells(self) -> int:
         nx, ny, nz = self.dims
         return nx * ny * nz
+
+    @property
+    def num_columns(self) -> int:
+        nx, ny, _ = self.dims
+        return nx * ny
 
     @property
     def column_bases(self) -> tuple[int, ...]:
@@ -107,89 +137,172 @@ class BlockGrid:
 
 
 class BlockStructure(NamedTuple):
-    """Sorted bead layout + per-block candidate windows (one build per call;
-    the force and contact consumers share it when evaluated at the same
-    positions)."""
+    """Column-aligned slot layout + per-block candidate windows (one build
+    per call; the force and contact consumers share it when evaluated at
+    the same positions)."""
 
-    order: jnp.ndarray        # (n,) sorted position -> original bead id
-    planes_r: tuple           # 3x (n_rows, 128) sorted coordinate rows
-    extras_r: tuple           # per-channel (n_rows, 128) sorted rows
-    j_lo: jnp.ndarray         # (9, n_blocks) window starts (sorted space)
+    order: jnp.ndarray        # (slots,) slot -> original bead id (-1 = pad)
+    islot: jnp.ndarray        # (n,) sorted position -> slot (slots = dropped)
+    sort: jnp.ndarray         # (n,) sorted position -> original bead id
+    planes_r: tuple           # 3x (n_rows, 128) slot coordinate rows
+    extras_r: tuple           # per-channel (n_rows, 128) slot rows
+    j_lo: jnp.ndarray         # (9, n_blocks) window starts (slot space)
     j_hi: jnp.ndarray         # (9, n_blocks) window ends, exclusive
-    overflow: jnp.ndarray     # () int32 candidates beyond the width capacity
+    overflow: jnp.ndarray     # () int32 width overflow + SLOT_OVERFLOW flag
     max_width: jnp.ndarray    # () int32 widest window needed (watermark)
+    slot_need: jnp.ndarray    # () int32 slots the layout actually needs
 
 
 def _shape(grid: BlockGrid, n: int):
     b = grid.block
-    n_blocks = -(-n // b)
-    n_pad = n_blocks * b
-    n_rows = -(-n_pad // _ROW)
+    unit = b * _ROW // math.gcd(b, _ROW)
+    if grid.slots > 0:
+        n_slots = -(-grid.slots // unit) * unit
+    else:
+        # Worst case: every nonempty column pads by b - 1 (always enough).
+        pad = min(grid.num_columns, n) * (b - 1)
+        n_slots = -(-(n + pad) // unit) * unit
+    n_blocks = n_slots // b
+    n_rows = n_slots // _ROW
     wq = (-(-grid.width // _ROW) + 1) * _ROW  # whole rows covering W + snap
-    return b, n_blocks, n_pad, n_rows, wq
+    return b, n_blocks, n_slots, n_rows, wq
 
 
 def build_structure(grid: BlockGrid, positions, extras=(),
                     valid=None) -> BlockStructure:
-    """Sort beads by cell id and derive each block's 9 candidate windows.
+    """Sort beads by cell id into the column-aligned layout and derive each
+    block's 9 candidate windows.
 
     ``valid`` optionally masks rows out entirely (empty slots of a
     fixed-capacity bead buffer, e.g. the halo engine's slab layout): masked
-    rows sort past every real cell, never enter any window, and never open
-    their own (without the mask, hundreds of FAR-padded slots clump into
-    the corner cell and inflate every window watermark that touches it).
+    rows sort past every real cell, occupy no slots, and never enter any
+    window (without the mask, hundreds of FAR-padded slots clump into the
+    corner cell and inflate every window watermark that touches it).
     """
     n = positions.shape[0]
-    b, n_blocks, n_pad, n_rows, _ = _shape(grid, n)
+    b, n_blocks, n_slots, n_rows, _ = _shape(grid, n)
     dtype = positions.dtype
+    ncols = grid.num_columns
+    nz = grid.dims[2]
 
     lower = jnp.asarray(grid.lower, dtype)
     dims = jnp.asarray(grid.dims, jnp.int32)
     coords = jnp.floor((positions - lower) / grid.cell_size).astype(jnp.int32)
     coords = jnp.clip(coords, 0, dims - 1)
-    _, ny, nz = grid.dims
+    _, ny, _ = grid.dims
     cid = (coords[:, 0] * ny + coords[:, 1]) * nz + coords[:, 2]
     if valid is not None:
         cid = jnp.where(valid, cid, grid.num_cells)
 
-    order = jnp.argsort(cid)
-    cid_s = cid[order]
+    # One variadic sort carries every value channel with the key: element
+    # gathers through the permutation run on the TPU's scalar core and
+    # dominated the whole pair call (profiled ~20 ms at 100k beads); the
+    # sort's compare-exchanges move payloads on the vector units instead.
+    chans = tuple(positions[:, k] for k in range(3)) + tuple(extras)
+    sorted_ops = jax.lax.sort(
+        (cid,) + chans + (jnp.arange(n, dtype=jnp.int32),), num_keys=1
+    )
+    cid_s = sorted_ops[0]
+    chans_s = sorted_ops[1:-1]
+    order = sorted_ops[-1]
+    live_sorted = (cid_s < grid.num_cells) if valid is not None else None
 
-    rows_pad = n_rows * _ROW - n
-
-    def sort_rows(v, fill):
-        v = v[order]
-        if valid is not None:
-            v = jnp.where(cid_s < grid.num_cells, v, fill)
-        if rows_pad:
-            v = jnp.concatenate([v, jnp.full((rows_pad,), fill, v.dtype)])
-        return v.reshape(n_rows, _ROW)
-
-    planes_r = tuple(sort_rows(positions[:, k], _FAR) for k in range(3))
-    extras_r = tuple(sort_rows(e, 0.0) for e in extras)
-
-    # cell id -> sorted bead range (monotone).
+    # cell id -> sorted bead range (monotone).  Invalid beads carry the
+    # sentinel cell id, so starts[num_cells] already excludes them.
     cell_ids = jnp.arange(grid.num_cells + 1, dtype=cid_s.dtype)
     starts = jnp.searchsorted(cid_s, cell_ids, side="left").astype(jnp.int32)
 
+    # Column-aligned padding: each (x, y) column's run rounds up to a
+    # multiple of the block size, so no block straddles a column.
+    col_start = starts[jnp.arange(ncols + 1, dtype=jnp.int32) * nz]
+    counts = col_start[1:] - col_start[:-1]                       # (ncols,)
+    padded = (-(-counts // b) * b).astype(jnp.int32)
+    pad_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded, dtype=jnp.int32)]
+    )                                                             # (ncols+1,)
+    slot_need = pad_off[-1]
+
+    # sorted position -> slot, WITHOUT per-slot binary searches or table
+    # gathers (both profiled as the build's hot spots): each column's slot
+    # offset (pad_off - col_start, monotone in the column id) is scattered
+    # at the column's first sorted position, and a running maximum forward-
+    # fills it across that column's beads.
+    colpad = pad_off[:-1] - col_start[:-1]                        # (ncols,)
+    offset_marks = (
+        jnp.zeros((n + 1,), jnp.int32)
+        .at[jnp.clip(col_start[:-1], 0, n)]
+        .max(colpad, mode="drop")
+    )
+    offset_sorted = jax.lax.cummax(offset_marks)[:n]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    islot = iota + offset_sorted
+    if live_sorted is not None:
+        # Invalid beads (all sorted last) park in the scratch region past
+        # the slot buffer: distinct targets, never read back.
+        n_valid = starts[-1]
+        islot = jnp.where(live_sorted, islot, n_slots + (iota - n_valid))
+    # Slot-overflow / scratch clamp: targets stay inside the scratch tail.
+    islot = jnp.minimum(islot, n_slots + n - 1)
+
+    # Slot value arrays: ONE row scatter of all channels (pads keep the
+    # initial fill: FAR coordinates, zero extras).
+    n_chan = len(chans_s)
+    fill_row = jnp.asarray([_FAR] * 3 + [0.0] * (n_chan - 3), dtype)
+    slot_vals = jnp.broadcast_to(
+        fill_row, (n_slots + n, n_chan)
+    ).at[islot].set(
+        jnp.stack(chans_s, axis=1), unique_indices=True, mode="drop"
+    )
+    planes_r = tuple(
+        slot_vals[:n_slots, k].reshape(n_rows, _ROW) for k in range(3)
+    )
+    extras_r = tuple(
+        slot_vals[:n_slots, 3 + k].reshape(n_rows, _ROW)
+        for k in range(n_chan - 3)
+    )
+
+    order_slots = (
+        jnp.full((n_slots + n,), -1, jnp.int32)
+        .at[islot]
+        .set(order, unique_indices=True, mode="drop")
+    )[:n_slots]
+
+    # Slot-space cell ids: scatter cid+1 then forward-fill, so pads report
+    # their column's LAST real cid (cummax; cids are monotone over slots).
+    cid_slot = jax.lax.cummax(
+        jnp.zeros((n_slots + n,), jnp.int32)
+        .at[islot]
+        .set(cid_s + 1, unique_indices=True, mode="drop")
+    )[:n_slots] - 1
+
+    # cell id -> slot position (monotone: within a column pads live past the
+    # last real cell; across columns pad_off jumps past them).  The per-cell
+    # column id is arange//nz, so the table lookups collapse into a
+    # broadcast-reshape — no gathers.
+    ss_main = (
+        starts[:-1].reshape(ncols, nz) + colpad[:, None]
+    ).reshape(-1)
+    starts_slots = jnp.minimum(
+        jnp.concatenate([ss_main, slot_need[None]]), n_slots
+    )
+
+    # Per-block cell ranges from the forward-filled slot cids (strided
+    # slices, no gathers).  Every live block's first slot is real (padded
+    # runs are whole multiples of b, so a block past the real run cannot
+    # exist inside a column).
     blk = jnp.arange(n_blocks, dtype=jnp.int32)
-    if valid is None:
-        last_valid = n - 1
-    else:
-        # Masked rows all sort after every real one.
-        last_valid = jnp.sum(cid_s < grid.num_cells).astype(jnp.int32) - 1
-    c_lo = cid_s[jnp.clip(blk * b, 0, jnp.maximum(last_valid, 0))]
-    c_hi = cid_s[jnp.clip(blk * b + b - 1, 0, jnp.maximum(last_valid, 0))]
-    # Blocks that start past the last real row open no windows at all.
-    dead = blk * b > last_valid
+    cid_blocks = cid_slot.reshape(n_blocks, b)
+    c_lo = jnp.maximum(cid_blocks[:, 0], 0)
+    c_hi = jnp.maximum(cid_blocks[:, b - 1], 0)
+    dead = blk * b >= jnp.minimum(slot_need, n_slots)
 
     bases = grid.column_bases
     j_lo_list, j_hi_list = [], []
     for base in bases:
         lo_cell = jnp.clip(c_lo + base - 1, 0, grid.num_cells)
         hi_cell = jnp.clip(c_hi + base + 2, 0, grid.num_cells)  # exclusive
-        j_lo = starts[lo_cell]
-        j_hi = starts[hi_cell]
+        j_lo = starts_slots[lo_cell]
+        j_hi = starts_slots[hi_cell]
         j_lo_list.append(j_lo)
         j_hi_list.append(jnp.where(dead, j_lo, j_hi))
     for g in range(len(bases) - 1):
@@ -204,15 +317,21 @@ def build_structure(grid: BlockGrid, positions, extras=(),
     overflow = sum(
         jnp.sum(jnp.maximum(wd - grid.width, 0)) for wd in widths
     ).astype(jnp.int32)
+    overflow = jnp.minimum(overflow, _WIDTH_OV_MAX) + jnp.where(
+        slot_need > n_slots, jnp.int32(SLOT_OVERFLOW), jnp.int32(0)
+    )
 
     return BlockStructure(
-        order=order.astype(jnp.int32),
+        order=order_slots,
+        islot=islot,
+        sort=order.astype(jnp.int32),
         planes_r=planes_r,
         extras_r=extras_r,
         j_lo=jnp.stack(j_lo_list),
         j_hi=jnp.stack(j_hi_list),
         overflow=overflow,
         max_width=max_width,
+        slot_need=slot_need,
     )
 
 
@@ -268,16 +387,16 @@ def block_pair_forces(grid: BlockGrid, positions, extras, coeff_fn,
     ``max_width`` is the watermark for adaptive sizing.
     """
     n = positions.shape[0]
-    b, n_blocks, n_pad, _, _ = _shape(grid, n)
+    b, n_blocks, n_slots, _, wq = _shape(grid, n)
     dtype = positions.dtype
     if struct is None:
         struct = build_structure(grid, positions, extras)
 
     si, i_planes, i_extras = _i_tiles(grid, struct, n)
+    i_real = (struct.order >= 0).reshape(n_blocks, b)
     forces = [jnp.zeros((n_blocks, b), dtype) for _ in range(3)]
     energy = jnp.asarray(0.0, dtype)
 
-    _, _, _, _, wq = _shape(grid, n)
     for g in range(len(grid.column_bases)):
         j_planes_f, j_extras_f, sj_f, valid_f = _window(grid, struct, g, n)
 
@@ -293,7 +412,7 @@ def block_pair_forces(grid: BlockGrid, positions, extras, coeff_fn,
                 for ip, jp in zip(i_planes, j_planes)
             ]
             r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
-            # Self-pairs: same sorted position.
+            # Self-pairs: same slot.
             r2 = jnp.where(si[:, :, None] == sj[:, None, :], _FAR, r2)
 
             e_i = tuple(ie[:, :, None] for ie in i_extras)
@@ -306,15 +425,22 @@ def block_pair_forces(grid: BlockGrid, positions, extras, coeff_fn,
             if energy_fn is not None:
                 u = energy_fn(r2, e_i, e_j)
                 u = jnp.where(valid_j[:, None, :], u, 0.0)
-                u = jnp.where(si[:, :, None] < n, u, 0.0)
+                u = jnp.where(i_real[:, :, None], u, 0.0)
                 energy = energy + 0.5 * jnp.sum(u)
 
-    # Sorted forces -> original bead order (inverse of the sort gather).
+    # Slot forces -> original bead order: gather each sorted bead's slot
+    # row, then scatter through the sort permutation (pads never gathered;
+    # dropped-on-overflow beads read the zero sentinel row).
+    force_rows = jnp.concatenate(
+        [
+            jnp.stack([f.reshape(n_slots) for f in forces], axis=-1),
+            jnp.zeros((1, 3), dtype),
+        ]
+    )
     out = jnp.zeros((n, 3), dtype)
-    force_rows = jnp.stack(
-        [f.reshape(n_pad) for f in forces], axis=-1
-    )[:n]
-    out = out.at[struct.order].set(force_rows, unique_indices=True)
+    out = out.at[struct.sort].set(
+        force_rows[struct.islot], unique_indices=True
+    )
     return out, energy, struct.overflow, struct.max_width
 
 
@@ -352,6 +478,9 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
         struct = build_structure(grid, positions)
     cutoff2 = jnp.asarray(cutoff * cutoff, positions.dtype)
     si, i_planes, _ = _i_tiles(grid, struct, n)
+    # Pad slots sit at FAR, so pad-vs-pad lanes see r2 = 0 — gate hits on a
+    # real i row (a real i against a pad j is already distance-rejected).
+    i_real = (struct.order >= 0).reshape(si.shape)
     n_cols = len(grid.column_bases)
     k_tiles = wq // _ROW
 
@@ -377,6 +506,7 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
             r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
             take = (
                 valid_j[:, None, :]
+                & i_real[:, :, None]
                 & (si[:, :, None] < sj[:, None, :])
                 & (r2 < cutoff2)
             )
@@ -457,16 +587,17 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
             (lane_prefix == rank_in_tile[:, None] + 1) & (bits > 0), axis=1
         ).astype(jnp.int32)
 
-        # Decode (column, tile) -> sorted j id via the window row base.
+        # Decode (column, tile) -> slot j id via the window row base.
         g_of = tile // k_tiles
         t_of = tile % k_tiles
         blk = row // b
         row0 = (struct.j_lo // _ROW)[g_of, blk]        # (E,)
         sj = (row0 + t_of) * _ROW + lane
 
-        # Sorted -> original ids.
-        i_ids = struct.order[jnp.minimum(row, n - 1)]
-        j_ids = struct.order[jnp.clip(sj, 0, n - 1)]
+        # Slot -> original ids (pads carry -1 but can never hit: their
+        # positions are FAR).
+        i_ids = struct.order[row]
+        j_ids = struct.order[jnp.clip(sj, 0, n_pad - 1)]
         i_out = jnp.where(valid_e, i_ids, -1)
         j_out = jnp.where(valid_e, j_ids, -1)
         ones = jnp.where(valid_e, 1, 0).astype(jnp.int32)
@@ -507,6 +638,8 @@ def block_contact_rows(grid: BlockGrid, positions, cutoff, row_capacity: int,
     cutoff2 = jnp.asarray(cutoff * cutoff, positions.dtype)
 
     si, i_planes, _ = _i_tiles(grid, struct, n)
+    # FAR-vs-FAR pad lanes see r2 = 0: gate on a real i row.
+    i_real = (struct.order >= 0).reshape(si.shape)
     cap = int(row_capacity)
     ids = jnp.full((n_pad, cap), -1, jnp.int32)
     fill = jnp.zeros((n_pad,), jnp.int32)
@@ -525,7 +658,7 @@ def block_contact_rows(grid: BlockGrid, positions, cutoff, row_capacity: int,
         lower = si3 < sj3
         even = ((si3 + sj3) % 2) == 0
         owns = jnp.where(even, lower, ~lower) & (si3 != sj3)
-        take = valid_j[:, None, :] & owns & (r2 < cutoff2)
+        take = valid_j[:, None, :] & i_real[:, :, None] & owns & (r2 < cutoff2)
 
         prefix = jnp.cumsum(take.astype(jnp.int32), axis=-1)
         slot = fill.reshape(n_blocks, b)[:, :, None] + prefix - 1
@@ -544,10 +677,8 @@ def block_contact_rows(grid: BlockGrid, positions, cutoff, row_capacity: int,
         fill = fill + prefix[:, :, -1].reshape(n_pad)
         over = over + jnp.sum(take & ~ok).astype(jnp.int32)
 
-    # Sorted partner ids -> original bead ids (small (n_pad, cap) gather).
-    safe = jnp.minimum(jnp.maximum(ids, 0), n - 1)
+    # Slot partner ids -> original bead ids (small (n_pad, cap) gather);
+    # row ids are the slot layout's original-id map (-1 on pads).
+    safe = jnp.minimum(jnp.maximum(ids, 0), n_pad - 1)
     ids = jnp.where(ids >= 0, struct.order[safe], -1)
-    row_ids = jnp.concatenate(
-        [struct.order, jnp.full((n_pad - n,), -1, jnp.int32)]
-    ) if n_pad > n else struct.order
-    return ids, row_ids, over, struct.overflow, struct.max_width
+    return ids, struct.order, over, struct.overflow, struct.max_width

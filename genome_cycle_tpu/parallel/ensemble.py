@@ -28,7 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.interphase import ChunkStats, EngineSettings, _AdaptiveEngine
+from ..models.interphase import (
+    SCALE_VIOLATION,
+    ChunkStats,
+    EngineSettings,
+    _AdaptiveEngine,
+)
 from ..ops.contact import (
     contact_list_to_host,
     events_to_host,
@@ -264,17 +269,25 @@ def run_ensemble_interphase(
                 x, keys_c, semis, jnp.asarray(start)
             )
             watermark = int(np.max(np.asarray(stats.cell_fill)))
-            if int(np.max(np.asarray(stats.cell_overflow))) > 0:
-                engine.grow_cells(watermark)
+            cell_ov = int(np.max(np.asarray(stats.cell_overflow)))
+            if cell_ov > 0:
+                engine.handle_pair_overflow(cell_ov, watermark)
                 continue
             if int(np.max(np.asarray(stats.contact_overflow))) > 0:
                 engine.grow_contacts()
                 continue
-            if int(np.max(np.asarray(stats.contact_cell_overflow))) > 0:
+            contact_cell_ov = int(np.max(np.asarray(stats.contact_cell_overflow)))
+            if contact_cell_ov >= SCALE_VIOLATION:
+                # Legacy path stencil invariant: the tick cutoff outgrew the
+                # search cell — re-bucket the cell scale (capacity is the
+                # wrong knob and would double forever).
+                engine.force_contact_scale(1.0)
+                continue
+            if contact_cell_ov > 0:
                 if engine.block:
-                    # Block path: this channel is the tick's window-width
-                    # overflow — same knob as the pair engine.
-                    engine.grow_cells(watermark)
+                    # Block path: this channel is the tick's window-width /
+                    # slot overflow — same knobs as the pair engine.
+                    engine.handle_pair_overflow(contact_cell_ov, watermark)
                 else:
                     engine.grow_contact_cells(model)
                 continue

@@ -51,7 +51,7 @@ from jax import shard_map
 
 from ..models.interphase import InterphaseModel
 from ..ops import potentials as pot
-from ..ops.block_pairs import block_pair_forces, build_structure
+from ..ops.block_pairs import SLOT_OVERFLOW, block_pair_forces, build_structure
 from ..ops.contact import (
     ContactList,
     build_contact_list,
@@ -73,6 +73,10 @@ class HaloGeometry(NamedTuple):
     halo_width: float
     own_capacity: int     # bead slots per device
     edge_capacity: int    # bead slots per halo band
+    # Per-shard slot capacity of the block engine's column-aligned layout
+    # (0 = auto worst case; plan_halo sizes it from the structure so the
+    # per-shard lane cost scales with the LOCAL set, not global n).
+    block_slots: int = 0
 
 
 class HaloStats(NamedTuple):
@@ -139,6 +143,34 @@ def plan_halo(
             int(((xs >= e) & (xs < e + halo_w)).sum() / max(per_rep, 1)),
         )
     edge_cap = int(np.ceil(max(band, 32) * imbalance / 32) * 32)
+    # Block-engine slot capacity for the worst slab's local (own + halo)
+    # set: per-shard lane cost must scale with the local set, so the global
+    # model's probed slot count cannot be reused here.  Exact per-column
+    # padded need from the actual structure, with the imbalance headroom;
+    # SLOT_OVERFLOW retries in the driver cover drift beyond it.
+    block_slots = 0
+    if model.block_grid is not None:
+        bg = model.block_grid
+        x0 = x[: model.n]
+        nx, ny, _ = bg.dims
+        need = 0
+        for s in range(n_shards):
+            lo = -bound + s * slab_w - halo_w
+            hi = -bound + (s + 1) * slab_w + halo_w
+            sub = x0[(x0[:, 0] >= lo) & (x0[:, 0] < hi)]
+            cx = np.clip(
+                ((sub[:, 0] - bg.lower[0]) / bg.cell_size).astype(np.int64),
+                0, nx - 1,
+            )
+            cy = np.clip(
+                ((sub[:, 1] - bg.lower[1]) / bg.cell_size).astype(np.int64),
+                0, ny - 1,
+            )
+            counts = np.bincount(cx * ny + cy, minlength=nx * ny)
+            need = max(
+                need, int((-(-counts // bg.block) * bg.block).sum())
+            )
+        block_slots = int(np.ceil(max(need, 128) * imbalance / 128) * 128)
     return HaloGeometry(
         n_shards=n_shards,
         bound=bound,
@@ -146,6 +178,7 @@ def plan_halo(
         halo_width=halo_w,
         own_capacity=own_cap,
         edge_capacity=edge_cap,
+        block_slots=block_slots,
     )
 
 
@@ -258,6 +291,16 @@ def make_halo_segment(
     nuc_k = c.nucleolus_bond_spring
     nuc_l = c.nucleolus_bond_length
     has_nuc = model.nuc_bonds.shape[0] > 0
+
+    # Per-shard block grid: locally sized slot capacity (geo.block_slots),
+    # NOT the global model's probed count — lanes must scale with the slab.
+    block_grid_local = None
+    if model.block_grid is not None:
+        import dataclasses as _dc
+
+        block_grid_local = _dc.replace(
+            model.block_grid, slots=geo.block_slots
+        )
 
     def exchange(own_pos, own_ids, shard):
         """Own + received halo bands; returns local set (B + 2E rows)."""
@@ -399,12 +442,12 @@ def make_halo_segment(
         bf_loc = jnp.where(local_valid, model.bf[jnp.maximum(local_ids, 0)], 0.0)
         params = model._ab_params(core_scale)
 
-        if model.block_grid is not None:
+        if block_grid_local is not None:
             # Per-shard sorted-block engine over the own+halo local set (the
             # single-chip hot path, VERDICT round-3 weak #4: multi-chip
             # scaling on the gather fold multiplied a ~20x-slower kernel).
-            # Window-width overflow rides the cell_overflow channel — the
-            # driver grows the shared width knob.
+            # Window-width / slot overflow rides the cell_overflow channel —
+            # the driver grows the matching knob.
             def coeff_b(r2, e_i, e_j):
                 return pot.ab_pair_force_coeff(
                     r2, 0.5 * (e_i[0] + e_j[0]), 0.5 * (e_i[1] + e_j[1]),
@@ -412,9 +455,9 @@ def make_halo_segment(
                 )
 
             pair_full, _, cell_ov, _ = block_pair_forces(
-                model.block_grid, local_pos, (af_loc, bf_loc), coeff_b,
+                block_grid_local, local_pos, (af_loc, bf_loc), coeff_b,
                 struct=build_structure(
-                    model.block_grid, local_pos, (af_loc, bf_loc),
+                    block_grid_local, local_pos, (af_loc, bf_loc),
                     valid=local_valid,
                 ),
             )
@@ -702,7 +745,21 @@ def run_halo_g1(store, engine, mesh, x, key, semiaxes, resume_step,
     def adjust(st) -> bool:
         """React to a violated segment; True = retry the chunk."""
         geo = state["geo"]
-        if int(np.max(st.cell_overflow)) > 0:
+        cell_ov = int(np.max(st.cell_overflow))
+        if cell_ov & SLOT_OVERFLOW:
+            # The per-shard column-padded layout outgrew its slot buffer —
+            # geometry knob, not an engine-model knob (no recompile of the
+            # global model needed, only a new segment).
+            state["geo"] = geo._replace(
+                block_slots=-(-(max(geo.block_slots, 128) * 3 // 2) // 128)
+                * 128
+            )
+            log(
+                f"halo: slot overflow; block slots -> "
+                f"{state['geo'].block_slots}"
+            )
+            return True
+        if cell_ov > 0:
             engine.grow_cells(0)
             refresh_model()
             return True
@@ -724,6 +781,24 @@ def run_halo_g1(store, engine, mesh, x, key, semiaxes, resume_step,
             log(
                 f"halo: partner outside halo; halo width -> "
                 f"{state['geo'].halo_width:.3g}"
+            )
+            return True
+        # Pair-force validity contract (module docstring): a bead's partners
+        # are only guaranteed inside its slab + halo band, so
+        # excursion + interaction_cutoff must stay <= halo_width.  Beads
+        # drifting past that bound between re-binnings would silently lose
+        # pair interactions (the bond/contact-miss checks only partially
+        # cover this); widen the halo and re-bin, like a partner miss.
+        exc = float(np.max(st.excursion))
+        pair_cutoff = state["model"].grid.cell_size
+        if exc + pair_cutoff > geo.halo_width:
+            state["geo"] = geo._replace(
+                halo_width=max(geo.halo_width * 1.5, exc + pair_cutoff),
+                edge_capacity=geo.edge_capacity * 2,
+            )
+            log(
+                f"halo: excursion {exc:.3g} breached the pair-validity "
+                f"band; halo width -> {state['geo'].halo_width:.3g}"
             )
             return True
         if int(np.max(st.contact_overflow)) > 0:

@@ -69,10 +69,25 @@ def run_jax_engine(x0, seed):
     # threshold is lowered so the block path activates at this system size.
     # Generous static capacities: the walk-chain init is locally dense, and
     # any overflow is asserted zero below (an overflowed map is invalid).
+    # Probe the block layout from the initial structure (the drivers'
+    # probe_capacity step): the auto worst-case slot capacity on this small
+    # sparse system would cost ~10x the needed lanes per step.
+    from genome_cycle_tpu.ops.block_pairs import BlockGrid, build_structure
+
+    probe_grid = BlockGrid.cubic(bound=2.0, cell_size=0.3, width=128)
+    probe = jax.jit(
+        lambda q: build_structure(probe_grid, q)
+    )(jnp.asarray(x0, jnp.float32))
+    # Generous margins: this loop has no adaptive retry, and the structure
+    # evolves over 6000 steps (overflow is asserted zero below).
+    width = max(-(-int(probe.max_width) * 3 // (2 * 128)) * 128, 256)
+    slots = -(-int(int(probe.slot_need) * 7 // 5) // 128) * 128
+
     settings = EngineSettings(
         cell_capacity=64, contact_capacity=512, contact_margin=0.4,
         grid_bound=4.0, dense_bound=2.0, use_dense_grid=False,
-        use_block_pairs=True, block_width=1024, brute_force_threshold=0,
+        use_block_pairs=True, block_width=width, block_slots=slots,
+        brute_force_threshold=0,
     )
     model = ge._make_model(n_beads=N, chains=CHAINS, settings=settings)
     assert model.block_grid is not None
