@@ -27,7 +27,12 @@ import numpy as np
 from ..config import InterphaseConfig, SimulationConfig
 from ..store import InterphaseContext, SimulationStore, StageDesign
 from ..ops import potentials as pot
-from ..ops.bonded import chain_bond_pairs, loop_bond_pairs, pair_bond_forces
+from ..ops.bonded import (
+    chain_bond_pairs,
+    loop_bond_pairs,
+    pair_bond_forces,
+    shift_bond_forces,
+)
 from ..ops.contact import (
     ContactList,
     build_contact_list,
@@ -170,6 +175,14 @@ class InterphaseModel:
     bond_length: jnp.ndarray       # (B,) pre-mixed l (unscaled)
     loop_pairs: jnp.ndarray        # (L, 2) intra-TAD (i, i+2) bonds
     loop_spring: jnp.ndarray       # (L,)
+    # Row-aligned (N,) views of the same bonds for the shift formulation
+    # (chain bonds are uniformly (i, i+1), loops (i, i+2)): mask True where
+    # row i owns a bond, parameters aligned to the owning row.
+    bond_mask: jnp.ndarray         # (N,)
+    bond_k_row: jnp.ndarray        # (N,)
+    bond_l_row: jnp.ndarray        # (N,)
+    loop_mask: jnp.ndarray         # (N,)
+    loop_k_row: jnp.ndarray        # (N,)
     nuc_bonds: jnp.ndarray         # (Bn, 2) NOR-nucleolus bonds
     nuc_targets: jnp.ndarray       # (Tn,) nucleolar particle indices
     grid: CellGrid
@@ -224,6 +237,21 @@ class InterphaseModel:
         else:
             loop_spring = np.zeros((0,))
         use_loops = bool(len(loop_pairs)) and bool(np.any(loop_spring != 0))
+
+        # Row-aligned shift-bond views: bond (i, i+1) / loop (i, i+2) params
+        # land on row i; rows without a bond mask out.
+        bond_mask = np.zeros((n,), bool)
+        bond_k_row = np.zeros((n,))
+        bond_l_row = np.zeros((n,))
+        if len(bond_pairs):
+            bond_mask[bond_pairs[:, 0]] = True
+            bond_k_row[bond_pairs[:, 0]] = bond_spring
+            bond_l_row[bond_pairs[:, 0]] = bond_length
+        loop_mask = np.zeros((n,), bool)
+        loop_k_row = np.zeros((n,))
+        if len(loop_pairs):
+            loop_mask[loop_pairs[:, 0]] = True
+            loop_k_row[loop_pairs[:, 0]] = loop_spring
 
         nuc_bonds = (
             design.nucleolar_bonds
@@ -314,6 +342,11 @@ class InterphaseModel:
             bond_length=jnp.asarray(bond_length, f),
             loop_pairs=jnp.asarray(loop_pairs, jnp.int32).reshape(-1, 2),
             loop_spring=jnp.asarray(loop_spring, f),
+            bond_mask=jnp.asarray(bond_mask),
+            bond_k_row=jnp.asarray(bond_k_row, f),
+            bond_l_row=jnp.asarray(bond_l_row, f),
+            loop_mask=jnp.asarray(loop_mask),
+            loop_k_row=jnp.asarray(loop_k_row, f),
             nuc_bonds=jnp.asarray(nuc_bonds, jnp.int32).reshape(-1, 2),
             nuc_targets=jnp.asarray(nuc_targets, jnp.int32),
             grid=grid,
@@ -381,23 +414,22 @@ class InterphaseModel:
         energy = jnp.asarray(0.0, positions.dtype)
 
         # Chain bonds: fluctuation-preserving rescale K/s^2, l*s
-        # (simulation_driver_forcefield.cpp:78-88).
+        # (simulation_driver_forcefield.cpp:78-88).  Uniform (i, i+1)
+        # offset -> shift formulation (rolls, no gather/scatter).
         s2 = bond_scale * bond_scale
-        k_bond = self.bond_spring / s2
-        l_bond = self.bond_length * bond_scale
-        f, e = pair_bond_forces(
-            positions,
-            self.bond_pairs,
+        k_bond = self.bond_k_row / s2
+        l_bond = self.bond_l_row * bond_scale
+        f, e = shift_bond_forces(
+            positions, 1, self.bond_mask,
             lambda r2: pot.semispring_energy(r2, k_bond, l_bond),
             lambda r2: pot.semispring_force_coeff(r2, k_bond, l_bond),
         )
         forces, energy = forces + f, energy + e
 
         if self.use_loops:
-            k_loop = self.loop_spring / s2
-            f, e = pair_bond_forces(
-                positions,
-                self.loop_pairs,
+            k_loop = self.loop_k_row / s2
+            f, e = shift_bond_forces(
+                positions, 2, self.loop_mask,
                 lambda r2: pot.harmonic_energy(r2, k_loop),
                 lambda r2: pot.harmonic_force_coeff(r2, k_loop),
             )

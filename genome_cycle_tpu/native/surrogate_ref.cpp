@@ -19,6 +19,7 @@
 //   surrogate_ref init.txt N chains steps burnin seed out_contacts.tsv
 // init.txt: N lines "x y z".  stdout: one JSON line of summary stats.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -46,7 +47,8 @@ static inline double c_soft83(double r2, double e, double inv_d2) {
 int main(int argc, char** argv) {
     if (argc < 8) {
         std::fprintf(stderr,
-            "usage: surrogate_ref init.txt N chains steps burnin seed out.tsv\n");
+            "usage: surrogate_ref init.txt N chains steps burnin seed out.tsv"
+            " [n_nor_sites]\n");
         return 2;
     }
     const char* init_path = argv[1];
@@ -56,6 +58,14 @@ int main(int argc, char** argv) {
     const int burnin = std::atoi(argv[5]);
     const unsigned seed = unsigned(std::strtoul(argv[6], nullptr, 10));
     const char* out_path = argv[7];
+    // Nucleolus mode: the LAST 2*n_nor_sites beads of the init file are
+    // nucleolar particles (nucleolus_bead_count = 2 per active NOR,
+    // simulation_config.hpp defaults); NOR site t is chain bead
+    // (t+1)*chain_beads/(n_sites+1), matching the JAX-side test design.
+    const int n_sites = argc > 8 ? std::atoi(argv[8]) : 0;
+    const int nuc_per_site = 2;
+    const int n_nuc = n_sites * nuc_per_site;
+    const int n_chainbeads = n - n_nuc;
 
     // Reference interphase defaults (simulation_config.hpp:61-115).
     const double dt = 1e-5, temperature = 1.0;
@@ -78,12 +88,26 @@ int main(int argc, char** argv) {
             if (std::fscanf(fp, "%lf %lf %lf", &x[i].x, &x[i].y, &x[i].z) != 3) {
                 std::fprintf(stderr, "short init file\n"); return 2;
             }
-            af[i] = (i % 2 == 0) ? 1.0 : 0.0;  // matches the JAX test model
-            bf[i] = 1.0 - af[i];
+            if (i < n_chainbeads) {
+                af[i] = (i % 2 == 0) ? 1.0 : 0.0;  // matches the JAX model
+                bf[i] = 1.0 - af[i];
+            } else {
+                af[i] = 0.0;   // nucleolus_ab_factor (0, 10)
+                bf[i] = 10.0;
+            }
         }
         std::fclose(fp);
     }
-    const int chain_len = n / chains;
+    const int chain_len = n_chainbeads / chains;
+    // NOR-nucleolus bonds (nor chain bead, nucleolar bead).
+    std::vector<int> nor_of(n_nuc);
+    for (int t = 0; t < n_sites; t++) {
+        int site = (t + 1) * n_chainbeads / (n_sites + 1);
+        for (int u = 0; u < nuc_per_site; u++)
+            nor_of[t * nuc_per_site + u] = site;
+    }
+    const double nuc_bondk = 10.0;   // nucleolus_bond_spring, l = 0
+    const double drop_e = 0.3, drop_decay = 0.2, drop_cut = 0.4;
 
     std::mt19937_64 rng(seed);
     std::normal_distribution<double> normal;
@@ -171,6 +195,43 @@ int main(int argc, char** argv) {
                 double dz = x[i].z - x[j].z;
                 f[i].x -= k * dx; f[i].y -= k * dy; f[i].z -= k * dz;
                 f[j].x += k * dx; f[j].y += k * dy; f[j].z += k * dz;
+            }
+        }
+
+        // NOR-nucleolus bonds: semispring with l = 0 (always stretched ->
+        // plain spring coefficient), K / bond_scale^2 like every bond
+        // (simulation_driver_forcefield.cpp:139-186).
+        for (int t = 0; t < n_nuc; t++) {
+            int i = nor_of[t], j = n_chainbeads + t;
+            double k = nuc_bondk / s2b;
+            double dx = x[i].x - x[j].x;
+            double dy = x[i].y - x[j].y;
+            double dz = x[i].z - x[j].z;
+            f[i].x -= k * dx; f[i].y -= k * dy; f[i].z -= k * dz;
+            f[j].x += k * dx; f[j].y += k * dy; f[j].z += k * dz;
+        }
+
+        // Nucleolar droplet: softwell<6> attraction among nucleolar
+        // particles, force truncated at the droplet cutoff (the JAX
+        // engine's drop_c in models/interphase.py).
+        if (n_nuc > 1) {
+            const double inv_dd2 = 1.0 / (drop_decay * drop_decay);
+            const double dc2 = drop_cut * drop_cut;
+            for (int a = 0; a < n_nuc; a++)
+            for (int b2 = a + 1; b2 < n_nuc; b2++) {
+                int i = n_chainbeads + a, j = n_chainbeads + b2;
+                double dx = x[i].x - x[j].x;
+                double dy = x[i].y - x[j].y;
+                double dz = x[i].z - x[j].z;
+                double r2 = dx * dx + dy * dy + dz * dz;
+                if (r2 >= dc2) continue;
+                double t3 = r2 * inv_dd2;
+                t3 = t3 * t3 * t3;
+                double denom = (1.0 + t3) * (1.0 + t3);
+                double coef = -drop_e * 6.0 * t3
+                            / (std::max(r2, 1e-30) * denom);
+                f[i].x += coef * dx; f[i].y += coef * dy; f[i].z += coef * dz;
+                f[j].x -= coef * dx; f[j].y -= coef * dy; f[j].z -= coef * dz;
             }
         }
 
@@ -290,10 +351,38 @@ int main(int argc, char** argv) {
         total += kv.second;
     }
     std::fclose(out);
+    // Nucleolus-mode statistics: nucleolar radius of gyration (droplet
+    // clustering) and mean NOR-bond squared length.
+    double nuc_rg2 = 0.0, nuc_bond_r2 = 0.0;
+    if (n_nuc > 0) {
+        double mx = 0, my = 0, mz = 0;
+        for (int t = 0; t < n_nuc; t++) {
+            mx += x[n_chainbeads + t].x;
+            my += x[n_chainbeads + t].y;
+            mz += x[n_chainbeads + t].z;
+        }
+        mx /= n_nuc; my /= n_nuc; mz /= n_nuc;
+        for (int t = 0; t < n_nuc; t++) {
+            double dx = x[n_chainbeads + t].x - mx;
+            double dy = x[n_chainbeads + t].y - my;
+            double dz = x[n_chainbeads + t].z - mz;
+            nuc_rg2 += dx * dx + dy * dy + dz * dz;
+            int i = nor_of[t];
+            double bx = x[i].x - x[n_chainbeads + t].x;
+            double by = x[i].y - x[n_chainbeads + t].y;
+            double bz = x[i].z - x[n_chainbeads + t].z;
+            nuc_bond_r2 += bx * bx + by * by + bz * bz;
+        }
+        nuc_rg2 /= n_nuc;
+        nuc_bond_r2 /= n_nuc;
+    }
+
     std::printf(
         "{\"bond_r2_mean\": %.8g, \"rg\": %.8g, \"pairs\": %zu, "
-        "\"events\": %llu, \"semiaxes\": [%.6g, %.6g, %.6g]}\n",
+        "\"events\": %llu, \"semiaxes\": [%.6g, %.6g, %.6g], "
+        "\"nuc_rg\": %.8g, \"nuc_bond_r2_mean\": %.8g}\n",
         bond_r2 / std::max(n_bonds, 1), std::sqrt(rg2), contacts.size(),
-        (unsigned long long)total, semiaxes[0], semiaxes[1], semiaxes[2]);
+        (unsigned long long)total, semiaxes[0], semiaxes[1], semiaxes[2],
+        std::sqrt(nuc_rg2), nuc_bond_r2);
     return 0;
 }

@@ -545,19 +545,32 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
 
     e_cap = int(events_capacity)
 
-    def extract(e_ids):
-        """Locate a block of event indices; all temporaries are E-chunk
+    # Event -> owner row WITHOUT per-event binary search (an 800k-query
+    # searchsorted lowers to a while loop and dominated the whole tick,
+    # profiled ~400 ms at 100k beads): scatter one mark at every row's
+    # exclusive start over the event domain, then a prefix sum counts the
+    # rows started at-or-before each event — which IS the row index (empty
+    # rows share their successor's start and the accumulate keeps the
+    # count right).  The row's own start forward-fills with a running max.
+    row_excl = (row_offsets - row_counts).astype(jnp.int32)   # (n_pad,)
+    mark_at = jnp.minimum(row_excl, e_cap)
+    row_of_e = jnp.cumsum(
+        jnp.zeros((e_cap + 1,), jnp.int32).at[mark_at].add(1)
+    )[:e_cap] - 1
+    row_of_e = jnp.clip(row_of_e, 0, n_pad - 1)
+    start_of_e = jax.lax.cummax(
+        jnp.zeros((e_cap + 1,), jnp.int32).at[mark_at].max(row_excl)
+    )[:e_cap]
+
+    def extract(sl):
+        """Locate one chunk of event indices; all temporaries are E-chunk
         sized (an adaptive capacity in the millions would otherwise hold
         ~10 E-sized temporaries per tick x 10 unrolled ticks — a 60k-bead
         chunk compile demanded 58 GB of HBM before this bound)."""
+        e_ids = sl
         valid_e = e_ids < n_events
-        # Row: first row whose inclusive offset exceeds the event index.
-        row = jnp.searchsorted(
-            row_offsets, e_ids, side="right"
-        ).astype(jnp.int32)
-        row = jnp.minimum(row, n_pad - 1)
-        row_start = jnp.where(row > 0, row_offsets[row - 1], 0)
-        rank_in_row = e_ids - row_start.astype(jnp.int32)
+        row = row_of_e[e_ids]
+        rank_in_row = e_ids - start_of_e[e_ids]
 
         # Tile within the row: compare against the row's tile prefix
         # (row-gather of the (G*K,) prefix, then a lane-wise count).
@@ -575,17 +588,35 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
         )
         rank_in_tile = rank_in_row - tile_start
 
-        # Lane within the tile: unpack the tile's 4 mask words, cumsum over
-        # the 128 bits.
+        # Lane within the tile: pick the word by cumulative popcount, then
+        # the rank-th set bit by a 5-round binary bit-select — elementwise
+        # u32 ops on (E,), replacing a (E, 128) cumsum (25x the traffic).
         flat_tile = row * (n_cols * k_tiles) + tile
         words = take_bits.reshape(-1, 4)[flat_tile]    # (E, 4) u32
-        bits = (
-            (words[:, :, None] >> word_shift[None, None, :]) & jnp.uint32(1)
-        ).reshape(-1, _ROW).astype(jnp.int32)          # (E, 128)
-        lane_prefix = jnp.cumsum(bits, axis=1)
-        lane = jnp.argmax(
-            (lane_prefix == rank_in_tile[:, None] + 1) & (bits > 0), axis=1
-        ).astype(jnp.int32)
+        wpc = jax.lax.population_count(words).astype(jnp.int32)
+        wcum = jnp.cumsum(wpc, axis=1)
+        widx = jnp.minimum(
+            jnp.sum((wcum <= rank_in_tile[:, None]).astype(jnp.int32),
+                    axis=1),
+            3,
+        )
+        wstart = jnp.where(
+            widx > 0,
+            jnp.take_along_axis(
+                wcum, jnp.maximum(widx - 1, 0)[:, None], axis=1
+            )[:, 0],
+            0,
+        )
+        w = jnp.take_along_axis(words, widx[:, None], axis=1)[:, 0]
+        r = (rank_in_tile - wstart).astype(jnp.uint32)
+        lane32 = jnp.zeros_like(r)
+        for width in (16, 8, 4, 2, 1):
+            low = (w >> lane32) & jnp.uint32((1 << width) - 1)
+            c = jax.lax.population_count(low)
+            go_high = r >= c
+            r = jnp.where(go_high, r - c, r)
+            lane32 = jnp.where(go_high, lane32 + width, lane32)
+        lane = (widx * 32 + lane32.astype(jnp.int32)).astype(jnp.int32)
 
         # Decode (column, tile) -> slot j id via the window row base.
         g_of = tile // k_tiles
@@ -607,12 +638,29 @@ def block_contact_events(grid: BlockGrid, positions, cutoff,
     if e_cap <= e_sub:
         events = extract(jnp.arange(e_cap, dtype=jnp.int32))
     else:
+        # Unrolled chunks behind lax.cond: a chunk entirely past n_events
+        # skips its extraction at run time, so the tick's cost follows the
+        # ACTUAL event count, not the safety capacity (lax.map serialized
+        # every chunk unconditionally — the profiled 400 ms while loop).
         n_chunks = -(-e_cap // e_sub)
-        chunks = jax.lax.map(
-            lambda c0: extract(c0 * e_sub + jnp.arange(e_sub, dtype=jnp.int32)),
-            jnp.arange(n_chunks, dtype=jnp.int32),
+        pad_chunk = jnp.concatenate(
+            [
+                jnp.full((e_sub, 2), -1, jnp.int32),
+                jnp.zeros((e_sub, 1), jnp.int32),
+            ],
+            axis=1,
         )
-        events = chunks.reshape(n_chunks * e_sub, 3)[:e_cap]
+        parts = []
+        for c0 in range(n_chunks):
+            ids = c0 * e_sub + jnp.arange(e_sub, dtype=jnp.int32)
+            parts.append(
+                jax.lax.cond(
+                    jnp.int32(c0 * e_sub) < n_events,
+                    lambda ids=ids: extract(ids),
+                    lambda: pad_chunk,
+                )
+            )
+        events = jnp.concatenate(parts)[:e_cap]
     return events, n_events, struct.overflow, struct.max_width
 
 

@@ -59,7 +59,7 @@ def dense_map(i, j, c, n):
     return m
 
 
-def run_jax_engine(x0, seed):
+def run_jax_engine(x0, seed, nor_sites=0):
     import __graft_entry__ as ge
     from genome_cycle_tpu.models.interphase import ChunkStats, EngineSettings
     from genome_cycle_tpu.ops.contact import events_to_host, merge_window
@@ -79,9 +79,11 @@ def run_jax_engine(x0, seed):
         lambda q: build_structure(probe_grid, q)
     )(jnp.asarray(x0, jnp.float32))
     # Generous margins: this loop has no adaptive retry, and the structure
-    # evolves over 6000 steps (overflow is asserted zero below).
+    # evolves over 6000 steps (overflow is asserted zero below).  Slots stay
+    # on the auto worst case — the occupied-column count grows as chains
+    # spread, and a probed snapshot capacity overflowed mid-run.
     width = max(-(-int(probe.max_width) * 3 // (2 * 128)) * 128, 256)
-    slots = -(-int(int(probe.slot_need) * 7 // 5) // 128) * 128
+    slots = 0
 
     settings = EngineSettings(
         cell_capacity=64, contact_capacity=512, contact_margin=0.4,
@@ -89,9 +91,12 @@ def run_jax_engine(x0, seed):
         use_block_pairs=True, block_width=width, block_slots=slots,
         brute_force_threshold=0,
     )
-    model = ge._make_model(n_beads=N, chains=CHAINS, settings=settings)
+    model = ge._make_model(
+        n_beads=N, chains=CHAINS, settings=settings, nor_sites=nor_sites
+    )
     assert model.block_grid is not None
-    assert model.n == N
+    assert model.n == len(x0)
+    assert model.use_droplet == (nor_sites > 0)
     chunk = model.make_interphase_chunk(CHUNK)
 
     x = jnp.asarray(x0, jnp.float32)
@@ -130,16 +135,16 @@ def run_jax_engine(x0, seed):
     )
     center = x_final.mean(axis=0)
     rg = float(np.sqrt(np.mean(np.sum((x_final - center) ** 2, axis=1))))
-    return coo, float(bonds.mean()), rg
+    return coo, float(bonds.mean()), rg, x_final
 
 
-def run_surrogate(exe, x0, tmp_path, seed):
+def run_surrogate(exe, x0, tmp_path, seed, n_sites=0):
     init = tmp_path / "init.txt"
     np.savetxt(init, x0, fmt="%.7f")
     out = tmp_path / "ref_contacts.tsv"
     proc = subprocess.run(
-        [str(exe), str(init), str(N), str(CHAINS), str(STEPS), str(BURNIN),
-         str(seed), str(out)],
+        [str(exe), str(init), str(len(x0)), str(CHAINS), str(STEPS),
+         str(BURNIN), str(seed), str(out), str(n_sites)],
         check=True, capture_output=True, text=True, timeout=600,
     )
     stats = json.loads(proc.stdout.strip())
@@ -162,7 +167,7 @@ def test_contact_map_pearson_vs_surrogate(surrogate_exe, tmp_path):
     jax_map = np.zeros((N, N))
     jax_bonds, jax_rgs = [], []
     for s in range(REPLICAS):
-        coo, bond_r2, rg = run_jax_engine(x0, 777 + s)
+        coo, bond_r2, rg, _ = run_jax_engine(x0, 777 + s)
         jax_map += dense_map(coo[:, 0], coo[:, 1], coo[:, 2], N)
         jax_bonds.append(bond_r2)
         jax_rgs.append(rg)
@@ -211,3 +216,71 @@ def test_contact_map_pearson_vs_surrogate(surrogate_exe, tmp_path):
         f"{both.sum()} octaves"
     )
     assert dev.max() <= 0.15
+
+
+N_SITES = 6  # -> 12 nucleolar particles (2 per active NOR, config default)
+NUC_REPLICAS = 4
+
+
+def test_nucleolus_droplet_vs_surrogate(surrogate_exe, tmp_path):
+    """Nucleolus-bearing configuration through the SAME statistical gate:
+    NOR semispring bonds + softwell droplet + (0, 10) nucleolar a/b factors
+    active in both engines (reference semantics:
+    stage_interphase/simulation_driver_forcefield.cpp:139-186).  Gates the
+    contact map Pearson r plus droplet-cluster statistics — nucleolar
+    radius of gyration and NOR-bond length — so every interphase
+    force-field term is covered by a quantitative cross-engine check."""
+    x0c = walk_init(N, CHAINS)
+    rows = []
+    for t in range(N_SITES):
+        site = (t + 1) * N // (N_SITES + 1)
+        for u in range(2):
+            rows.append(x0c[site] + np.asarray(
+                [0.03 * (u + 1), 0.02, 0.01], np.float32))
+    x0 = np.concatenate([x0c, np.asarray(rows, np.float32)])
+    n_tot = len(x0)
+
+    ref_map = np.zeros((n_tot, n_tot))
+    ref_nuc_rg, ref_nuc_bond = [], []
+    for s in range(NUC_REPLICAS):
+        coo, stats = run_surrogate(
+            surrogate_exe, x0, tmp_path, 5252 + s, n_sites=N_SITES
+        )
+        ref_map += dense_map(coo[:, 0], coo[:, 1], coo[:, 2], n_tot)
+        ref_nuc_rg.append(stats["nuc_rg"])
+        ref_nuc_bond.append(stats["nuc_bond_r2_mean"])
+
+    jax_map = np.zeros((n_tot, n_tot))
+    jax_nuc_rg, jax_nuc_bond = [], []
+    for s in range(NUC_REPLICAS):
+        coo, _, _, x_final = run_jax_engine(x0, 888 + s, nor_sites=N_SITES)
+        jax_map += dense_map(coo[:, 0], coo[:, 1], coo[:, 2], n_tot)
+        nuc = x_final[N:]
+        c = nuc.mean(axis=0)
+        jax_nuc_rg.append(float(np.sqrt(np.mean(np.sum((nuc - c) ** 2, 1)))))
+        sites = np.asarray(
+            [(t + 1) * N // (N_SITES + 1) for t in range(N_SITES)]
+        ).repeat(2)
+        jax_nuc_bond.append(
+            float(np.mean(np.sum((x_final[sites] - nuc) ** 2, axis=1)))
+        )
+
+    iu, ju = np.triu_indices(n_tot, k=1)
+    a, b = ref_map[iu, ju], jax_map[iu, ju]
+    r = float(np.corrcoef(a, b)[0, 1])
+    ratio = jax_map.sum() / max(ref_map.sum(), 1)
+    print(f"nucleolus gate: map r = {r:.4f}, event ratio {ratio:.3f}")
+    assert r >= 0.95
+    assert 0.85 < ratio < 1.15
+
+    # Droplet clustering: nucleolar radius of gyration (the softwell pulls
+    # the 12 particles into one droplet; without it Rg tracks the NOR
+    # spread, several-fold larger).
+    rr, jr = float(np.mean(ref_nuc_rg)), float(np.mean(jax_nuc_rg))
+    print(f"nucleolar Rg: ref={rr:.4f} jax={jr:.4f}")
+    assert jr == pytest.approx(rr, rel=0.25)
+
+    # NOR-bond stretch equilibrium.
+    rb, jb = float(np.mean(ref_nuc_bond)), float(np.mean(jax_nuc_bond))
+    print(f"NOR-bond <r^2>: ref={rb:.5f} jax={jb:.5f}")
+    assert jb == pytest.approx(rb, rel=0.25)
