@@ -38,7 +38,9 @@ from ..ops.contact import (
     build_contact_list,
     compact_contact_events,
     contact_list_to_host,
+    empty_window_acc,
     events_to_host,
+    merge_events_acc,
     merge_window,
     track_drift,
     update_contact_counts,
@@ -1044,6 +1046,10 @@ class _AdaptiveEngine:
         self.dense_cell_scale = base.dense_cell_scale
         self.block_width = base.block_width
         self.block_slots = base.block_slots
+        # Device-resident window-accumulator capacity (unique (i, j) pairs
+        # per output window); overflow only costs a re-merge, so the default
+        # starts modest and doubles on demand.
+        self.acc_capacity = max(1 << 16, 16 * design.particle_count)
         # Brute-force systems ignore the cell grids entirely: freeze every
         # grid adaptation (each change would recompile for nothing).
         self.brute = design.particle_count <= base.brute_force_threshold
@@ -1274,6 +1280,16 @@ class _AdaptiveEngine:
             raise RuntimeError("contact event capacity limit exceeded")
         self.events_capacity = cur * 2
         self.log(f"engine: growing event capacity to {self.events_capacity}")
+
+    def grow_acc(self, deficit: int):
+        """Window accumulator overflowed by ``deficit`` unique pairs: size
+        past the watermark with headroom (re-merging is cheap; the growth
+        only recompiles the standalone merge jit, never the chunk)."""
+        want = -(-int((self.acc_capacity + deficit) * 3 // 2) // 4096) * 4096
+        if want > 1 << 27:
+            raise RuntimeError("contact window accumulator limit exceeded")
+        self.acc_capacity = want
+        self.log(f"engine: growing window accumulator to {want}")
 
     def shrink_events_if_idle(self, model, event_overflow: int):
         """The event watermark is capacity + event_overflow (the overflow
@@ -1534,7 +1550,13 @@ def run_interphase(
             save_frame, log,
         )
 
-    window_chunks = []
+    # Window contacts accumulate ON DEVICE (sorted-COO dedup per chunk,
+    # ops/contact.merge_events_acc): transferring raw tick events costs
+    # ~480 MB per 1000-step chunk at 100k beads over a ~32 MB/s device
+    # link — 22 ms/step, dwarfing the compute — while the deduplicated
+    # window COO moves once per dump boundary.
+    merge_jit = jax.jit(merge_events_acc)
+    acc, acc_n = empty_window_acc(engine.acc_capacity)
     state = (x, inter_key, semiaxes)
     wall_t0 = _time.perf_counter()
     steps_done = 0
@@ -1591,12 +1613,21 @@ def run_interphase(
         engine.update_cell_scale(float(core_next))
         step = start + sampling
 
-        window_chunks.append(events_to_host(events))
+        while True:
+            acc2, acc_n2, acc_ov = merge_jit(acc, acc_n, events)
+            if int(acc_ov) > 0:
+                engine.grow_acc(int(acc_ov))
+                grown, _ = empty_window_acc(engine.acc_capacity)
+                acc = jnp.concatenate([acc, grown[acc.shape[0]:]])
+                continue
+            acc, acc_n = acc2, acc_n2
+            break
 
         contacts_coo = None
         if step % window_steps == 0:
-            contacts_coo = merge_window(window_chunks)
-            window_chunks = []
+            # The accumulator IS the sorted (i, j, count) window COO.
+            contacts_coo = np.asarray(acc[: int(acc_n)])
+            acc, acc_n = empty_window_acc(engine.acc_capacity)
 
         ctx = save_frame(bundle, step, x, semiaxes, contacts_coo)
         steps_done += sampling

@@ -35,10 +35,16 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .neighbor import CellGrid, neighbor_fold
+
+# Sentinel id for empty accumulator rows / invalid events: sorts after every
+# real bead id under the (i, j) two-key sort, so padding always compacts to
+# the tail.
+_ACC_PAD = np.int32(np.iinfo(np.int32).max)
 
 
 class ContactList(NamedTuple):
@@ -246,3 +252,87 @@ def merge_window(chunks) -> np.ndarray:
     out[:, 1] = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int32)
     out[:, 2] = sums.astype(np.int32)
     return out
+
+
+def empty_window_acc(capacity: int):
+    """Fresh device-resident window accumulator: (capacity, 3) int32 rows of
+    [i, j, count] with the pad sentinel, plus the zero row count."""
+    acc = jnp.concatenate(
+        [
+            jnp.full((int(capacity), 2), _ACC_PAD, jnp.int32),
+            jnp.zeros((int(capacity), 1), jnp.int32),
+        ],
+        axis=1,
+    )
+    return acc, jnp.zeros((), jnp.int32)
+
+
+def merge_events_acc(acc, acc_n, events):
+    """Fold raw tick events into a device-resident sorted-COO accumulator.
+
+    The reference accumulates contacts into a host hash map and dumps sorted
+    COO per output window (contact_map.cpp:66-85).  Transferring raw tick
+    events to the host instead costs ~480 MB per 1000-step chunk at 100k
+    beads — 22 ms/step over a ~32 MB/s device link, dwarfing the compute.
+    This keeps the whole window's accumulation ON DEVICE with two
+    ``lax.sort`` passes per chunk (measured ~5 ms per 10M rows each on a v5e
+    chip) and transfers only the deduplicated window COO at dump boundaries:
+
+    1. canonicalize events to i < j (rows own either pair end under the
+       parity-balanced ownership) and concatenate with the accumulator's
+       rows — padding and invalid events carry the max-int sentinel;
+    2. one two-key sort groups equal (i, j) runs;
+    3. an inclusive prefix sum of counts turns each run's LAST row into the
+       run's cumulative total; a second sort compacts exactly those rows to
+       the front (stable in the original order, so consecutive compacted
+       rows are consecutive runs and adjacent differences restore per-run
+       sums).
+
+    Returns ``(acc', n', overflow)``; ``overflow > 0`` means more unique
+    pairs than capacity — the result is truncated and the caller must grow
+    the accumulator and re-merge (the inputs are never mutated, so a retry
+    is safe).
+    """
+    cap = acc.shape[0]
+    ev = events.reshape(-1, 3)
+    valid = ev[:, 0] >= 0
+    lo = jnp.minimum(ev[:, 0], ev[:, 1])
+    hi = jnp.maximum(ev[:, 0], ev[:, 1])
+    i_in = jnp.concatenate([acc[:, 0], jnp.where(valid, lo, _ACC_PAD)])
+    j_in = jnp.concatenate([acc[:, 1], jnp.where(valid, hi, _ACC_PAD)])
+    c_in = jnp.concatenate(
+        [acc[:, 2], jnp.where(valid, ev[:, 2], 0)]
+    )
+
+    i_s, j_s, c_s = jax.lax.sort((i_in, j_in, c_in), num_keys=2)
+    m = i_s.shape[0]
+    prefix = jnp.cumsum(c_s, dtype=jnp.int32)
+    # Last row of each (i, j) run; sentinel rows form one run at the tail.
+    run_last = jnp.concatenate(
+        [
+            (i_s[:-1] != i_s[1:]) | (j_s[:-1] != j_s[1:]),
+            jnp.ones((1,), bool),
+        ]
+    )
+    is_real = i_s < _ACC_PAD
+    boundary = run_last & is_real
+    n_unique = jnp.sum(boundary).astype(jnp.int32)
+
+    # Compact the boundary rows to the front, preserving order.
+    idx = jnp.arange(m, dtype=jnp.int32)
+    rank = jnp.where(boundary, idx, jnp.int32(m))
+    _, bi, bj, bp = jax.lax.sort((rank, i_s, j_s, prefix), num_keys=1)
+    bi, bj, bp = bi[:cap], bj[:cap], bp[:cap]
+    counts = bp - jnp.concatenate([jnp.zeros((1,), jnp.int32), bp[:-1]])
+
+    live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(n_unique, cap)
+    out = jnp.stack(
+        [
+            jnp.where(live, bi, _ACC_PAD),
+            jnp.where(live, bj, _ACC_PAD),
+            jnp.where(live, counts, 0),
+        ],
+        axis=1,
+    )
+    overflow = jnp.maximum(n_unique - cap, 0)
+    return out, jnp.minimum(n_unique, cap), overflow

@@ -315,3 +315,43 @@ def test_valid_mask_matches_subset(rng):
     assert float(e) == pytest.approx(float(e_ref), rel=1e-5)
     # Watermark must reflect the real structure, not the 212 empty slots.
     assert int(mw) <= int(mw_ref) + 64
+
+
+def test_window_accumulator_matches_host_merge():
+    """Device window accumulator == host merge_window on random tick events,
+    including duplicate pairs across ticks, swapped pair ends, padding rows,
+    and the overflow flag."""
+    import jax
+    from genome_cycle_tpu.ops.contact import (
+        empty_window_acc, merge_events_acc, merge_window)
+
+    rng = np.random.default_rng(7)
+    acc, n = empty_window_acc(512)
+    host_chunks = []
+    merge = jax.jit(merge_events_acc)
+    for _ in range(6):
+        ne = int(rng.integers(10, 150))
+        i = rng.integers(0, 50, ne)
+        j = rng.integers(0, 50, ne)
+        keep = i != j
+        i, j = i[keep], j[keep]
+        ne = len(i)
+        ev = np.full((200, 3), -1, np.int32)
+        ev[:ne, 0] = i
+        ev[:ne, 1] = j
+        ev[:ne, 2] = 1
+        ev[ne:, 2] = 0
+        host_chunks.append(
+            (np.minimum(i, j).astype(np.int64),
+             np.maximum(i, j).astype(np.int64),
+             np.ones(ne, np.int64))
+        )
+        acc, n, ov = merge(acc, n, jnp.asarray(ev))
+        assert int(ov) == 0
+    ref = merge_window(host_chunks)
+    got = np.asarray(acc[: int(n)])
+    assert np.array_equal(ref, got)
+
+    small, sn = empty_window_acc(4)
+    _, sn2, sov = merge(small, sn, jnp.asarray(ev))
+    assert int(sov) > 0 and int(sn2) == 4
