@@ -236,6 +236,22 @@ def make_halo_carry(
     )
 
 
+def events_host(ev) -> np.ndarray:
+    """Fetch a segment's event block to the host.
+
+    Events are sharded over the beads axis; on a multi-controller runtime a
+    plain ``np.asarray`` only sees the local shards, so the global block is
+    all-gathered first (every process needs the full window for its own
+    merge — the reference's one-writer surface keeps rank 0's store, but
+    the merge must agree everywhere for the adaptive retries to stay in
+    lock-step)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(ev, tiled=True))
+    return np.asarray(ev)
+
+
 def gather_positions(model: InterphaseModel, carry: HaloCarry) -> np.ndarray:
     """Reassemble (R, N, 3) global positions from the slab layout."""
     if jax.process_count() > 1:
@@ -855,7 +871,7 @@ def run_halo_g1(store, engine, mesh, x, key, semiaxes, resume_step,
                 if adjust(st):
                     failed = True
                     break
-                ev_chunks.append(events_to_host(np.asarray(ev)))
+                ev_chunks.append(events_to_host(events_host(ev)))
             if not failed:
                 carry = cur
                 break

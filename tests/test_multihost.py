@@ -19,3 +19,10 @@ import __graft_entry__ as ge  # noqa: E402
 def test_two_process_distributed_step():
     # 4 global devices: 2 processes x 2 CPU devices; raises on any failure.
     ge._dryrun_two_process(4)
+
+
+def test_two_process_store_backed_interphase():
+    # Full run_interphase over a 2-process global beads mesh, each process
+    # against its own store copy; rank 0's trajectory is validated
+    # (reference surface: one command -> one trajectory).
+    ge._dryrun_two_process_store(4)
