@@ -285,10 +285,21 @@ def _measure_variant(n_beads: int, engine: str = "block"):
             )
             continue
 
+        # Timed loop includes the device-side window merge the production
+        # driver performs per chunk (ops/contact.merge_events_acc) — the
+        # metric is the full driver step, not the integration kernel alone.
+        from genome_cycle_tpu.ops.contact import (
+            empty_window_acc, merge_events_acc,
+        )
+
+        merge = jax.jit(merge_events_acc)
+        acc, acc_n = empty_window_acc(max(1 << 16, 16 * model.n))
         t0 = time.perf_counter()
         for r in range(TIMED_REPS):
-            carry, _ = chunk(carry, jnp.asarray((r + 1) * BENCH_STEPS))
+            carry, events = chunk(carry, jnp.asarray((r + 1) * BENCH_STEPS))
+            acc, acc_n, _ = merge(acc, acc_n, events)
         jax.block_until_ready(carry[0])
+        jax.block_until_ready(acc)
         dt = (time.perf_counter() - t0) / TIMED_REPS
 
         steps_per_s = BENCH_STEPS / dt
