@@ -53,6 +53,27 @@ def main(paths):
             row.append(f"{abs(r):4.2f}")
         print("  ".join(row))
 
+    # Shuffled control: the same adjacent-cycle comparison with one profile
+    # bin-permuted destroys the positional correspondence — its |r| is the
+    # chance level the memory signal must exceed.
+    rng = np.random.default_rng(0)
+    real, ctrl = [], []
+    for i in range(n - 1):
+        a, b = profiles[i], profiles[i + 1]
+        ok = np.isfinite(a) & np.isfinite(b)
+        a, b = a[ok], b[ok]
+        real.append(abs(float(np.corrcoef(a, b)[0, 1])))
+        ctrl.append(
+            np.mean([
+                abs(float(np.corrcoef(a, rng.permutation(b))[0, 1]))
+                for _ in range(20)
+            ])
+        )
+    print(
+        f"\nadjacent-cycle memory: mean |r| = {np.mean(real):.3f} "
+        f"(shuffled-control chance level {np.mean(ctrl):.3f})"
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1:])
