@@ -402,6 +402,12 @@ def measure_tpu(deadline):
     ladder = [
         ("block-25k", 25_000, "block", 1200),
         ("block-100k", 100_000, "block", 1200),
+        # Comparison engines, strictly AFTER the primary banks: the slab
+        # fallback (regression row for ops/dense_grid.py) and the opt-in
+        # Pallas slab kernel — both crash-isolated like every variant, so a
+        # worker crash cannot cost the banked primary.
+        ("slab-25k", 25_000, "slab", 600),
+        ("pallas-25k", 25_000, "pallas", 600),
     ]
     best = None
     primary = None
