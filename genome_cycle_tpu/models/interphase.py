@@ -125,6 +125,13 @@ class EngineSettings:
     # (0 = auto worst case; the adaptive driver probes a tight value from
     # the structure and grows it on SLOT_OVERFLOW).
     block_slots: int = 0
+    # Block size of the column-aligned layout.  Every occupied (x, y) cell
+    # column pads to a multiple of this, so SMALL systems (hundreds of
+    # beads over hundreds of columns) inflate their slot count ~block-fold
+    # at the default; pass 8 (or 4) there to keep candidate lanes
+    # proportional to the system.  Production-scale columns hold >> 32
+    # beads, where 32 tiles the TPU sublanes best.
+    block_size: int = 32
     # Dense-slab pair engine (gather-free; the previous TPU path, kept for
     # comparison and as a fallback).  The gather fold remains as the
     # readable reference implementation and for tests.
@@ -336,6 +343,7 @@ class InterphaseModel:
                 bound=settings.dense_bound,
                 cell_size=block_cell,
                 width=settings.block_width,
+                block=settings.block_size,
                 slots=settings.block_slots,
             )
 

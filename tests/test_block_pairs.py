@@ -49,7 +49,9 @@ def dense_fns(params, af, bf):
 PARAMS = dict(a_energy=2.5, a_diameter=0.3, b_energy=2.0, b_diameter=0.24)
 
 
-@pytest.mark.parametrize("n,block,width", [(500, 64, 256), (1000, 128, 384)])
+@pytest.mark.parametrize(
+    "n,block,width", [(500, 64, 256), (1000, 128, 384), (700, 8, 256)]
+)
 def test_block_vs_dense(rng, n, block, width):
     x = jnp.asarray(rng.uniform(-1.0, 1.0, size=(n, 3)), jnp.float32)
     af = jnp.asarray(rng.uniform(0, 1, size=n), jnp.float32)

@@ -74,7 +74,16 @@ def run_jax_engine(x0, seed, nor_sites=0):
     # sparse system would cost ~10x the needed lanes per step.
     from genome_cycle_tpu.ops.block_pairs import BlockGrid, build_structure
 
-    probe_grid = BlockGrid.cubic(bound=2.0, cell_size=0.3, width=128)
+    # Block size 8: at ~600 beads over ~200 occupied columns the default
+    # 32-slot column padding inflates the layout ~7x (each 3-bead column
+    # pads to 32), and candidate lanes with it — the gate ran >40 min per
+    # file on the 2-core CPU box.  8 keeps lanes proportional to the
+    # system; the TPU-shaped default only matters at production column
+    # fills.
+    block = 8
+    probe_grid = BlockGrid.cubic(
+        bound=2.0, cell_size=0.3, width=128, block=block
+    )
     probe = jax.jit(
         lambda q: build_structure(probe_grid, q)
     )(jnp.asarray(x0, jnp.float32))
@@ -89,7 +98,7 @@ def run_jax_engine(x0, seed, nor_sites=0):
         cell_capacity=64, contact_capacity=512, contact_margin=0.4,
         grid_bound=4.0, dense_bound=2.0, use_dense_grid=False,
         use_block_pairs=True, block_width=width, block_slots=slots,
-        brute_force_threshold=0,
+        block_size=block, brute_force_threshold=0,
     )
     model = ge._make_model(
         n_beads=N, chains=CHAINS, settings=settings, nor_sites=nor_sites
